@@ -1,0 +1,12 @@
+// Oracle for Node's lenient base64 decoding + 'ascii' (high-bit-strip)
+// string conversion, as used by the reference's custom functions
+// (matches.js:52,84). Input: JSON array of strings on argv[2]; output:
+// JSON array of {hex, ascii} where hex is the decoded bytes.
+'use strict';
+const fs = require('fs');
+const inputs = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const out = inputs.map(s => {
+  const buf = Buffer.from(s, 'base64');
+  return { hex: buf.toString('hex'), ascii: buf.toString('ascii') };
+});
+process.stdout.write(JSON.stringify(out));

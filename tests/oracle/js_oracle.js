@@ -1,0 +1,47 @@
+// Behavioral oracle for matcher parity tests.
+//
+// Loads the reference's shipped matcher CONFIG (read-only require of
+// /root/reference/lambda_functions/warcannon/matches.js) and applies the
+// documented extraction semantics of parse_regex.js:14-16,120-153 to a
+// JSON array of input texts from argv[2] (a file path), printing one JSON
+// result per input:
+//   [{pattern, raw, value, sha1}, ...]  -- in match order
+// where `value` is post-custom-function + trim + strip-quotes and `sha1`
+// is the hex dedup key (parse_regex.js:141-142,232-234).
+//
+// This file is a fresh ~50-line harness (not reference code); it exists so
+// pytest goldens are produced by EXECUTING the reference behavior rather
+// than by hand-transcribing it.
+'use strict';
+
+const fs = require('fs');
+const crypto = require('crypto');
+const { regex_patterns, custom_functions } =
+  require('/root/reference/lambda_functions/warcannon/matches.js');
+
+const combined = new RegExp(Object.keys(regex_patterns).map(e => {
+  return `(?<${e}>${regex_patterns[e].source})`;
+}).join('|'), 'g');
+
+const texts = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+
+const out = texts.map(text => {
+  const results = [];
+  for (const match of text.matchAll(combined)) {
+    for (const name of Object.keys(match.groups)) {
+      if (!match.groups[name]) continue;
+      let value = match.groups[name];
+      if (custom_functions[name]) {
+        value = custom_functions[name](value);
+        if (value === false) continue;
+      }
+      const raw = match.groups[name];
+      value = value.trim().replace(/['"]+/g, '');
+      const sha1 = crypto.createHash('sha1').update(value).digest('hex');
+      results.push({ pattern: name, raw, value, sha1 });
+    }
+  }
+  return results;
+});
+
+process.stdout.write(JSON.stringify(out));

@@ -1,0 +1,128 @@
+"""Matcher parity: the Python/Spark extraction pipeline must reproduce the
+reference's behavior byte-for-byte. Goldens are produced by EXECUTING the
+reference's matches.js under Node (tests/oracle/js_oracle.js)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import shutil
+import subprocess
+import tempfile
+
+import pandas as pd
+import pytest
+
+from tests.corpus import CORPUS
+from warcannon_spark.jscompat import normalize_value_py
+from warcannon_spark.operators.matcher import extract_match_lists
+
+NODE = shutil.which("node")
+
+
+@pytest.fixture(scope="module")
+def js_goldens() -> list[list[dict]]:
+    if NODE is None:
+        pytest.skip("node not available for oracle run")
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        json.dump(CORPUS, f)
+        path = f.name
+    out = subprocess.run(
+        [NODE, "tests/oracle/js_oracle.js", path],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd="/root/repo",
+    )
+    return json.loads(out.stdout)
+
+
+def python_pipeline(texts: list[str]) -> list[list[dict]]:
+    """Driver-side mirror of the Spark pipeline: extract → normalize → sha1."""
+    rows = extract_match_lists(pd.Series(texts, dtype=object))
+    out = []
+    for row in rows:
+        res = []
+        for m in row:
+            value = normalize_value_py(m["value"])
+            res.append(
+                {
+                    "pattern": m["pattern"],
+                    "raw": m["value"],
+                    "value": value,
+                    "sha1": hashlib.sha1(value.encode("utf-8")).hexdigest(),
+                }
+            )
+        out.append(res)
+    return out
+
+
+def test_python_matches_node_oracle(js_goldens):
+    ours = python_pipeline(CORPUS)
+    assert len(ours) == len(js_goldens)
+    for i, (got, want) in enumerate(zip(ours, js_goldens)):
+        assert got == want, f"corpus[{i}] = {CORPUS[i]!r}\n got {got}\nwant {want}"
+
+
+def test_corpus_exercises_every_pattern_and_drop(js_goldens):
+    fired = {m["pattern"] for row in js_goldens for m in row}
+    # base64_url is intentionally absent: safebase64_url (declared first)
+    # claims every std-base64 URL in the fused scan — pinned here.
+    expected = {
+        "access_key_id",
+        "user_pool_id",
+        "identity_pool_id",
+        "hosted_ui",
+        "cognito_domain",
+        "assumerolewithwebidentity",
+        "arn",
+        "google_appid",
+        "amazon_appid",
+        "amazon_authorize",
+        "s3_buckets",
+        "safebase64_url",
+    }
+    assert expected <= fired
+    assert "base64_url" not in fired
+
+
+def test_spark_pipeline_matches_python(spark):
+    """End-to-end through Spark (pandas UDF + native normalize/sha1/domain)
+    equals the driver-side mirror — pins the Spark-native expressions."""
+    from warcannon_spark.operators.matcher import match_hits
+
+    rows = [
+        (f"https://host{i % 3}.example:8080/p/{i}", i, t)
+        for i, t in enumerate(CORPUS)
+    ]
+    df = spark.createDataFrame(rows, "url string, fetch_seq long, text string")
+    got = {
+        (r.url, r.pattern, r.value, r.value_sha1, r.domain)
+        for r in match_hits(df, passthrough=["fetch_seq"]).collect()
+    }
+
+    want = set()
+    for i, matches in enumerate(python_pipeline(CORPUS)):
+        url = f"https://host{i % 3}.example:8080/p/{i}"
+        for m in matches:
+            want.add((url, m["pattern"], m["value"], m["sha1"], f"host{i % 3}.example:8080"))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_decode_html_parity(spark):
+    """C15: byte-identical extracted text — UTF-8 + U+FFFD replacement,
+    including planted invalid sequences (BASELINE.json per-row invariant)."""
+    from warcannon_spark.operators.matcher import decode_html
+
+    raws = [
+        b"plain ascii",
+        "Ünïcode ✓ page".encode(),
+        b"broken \xff\xfe bytes \xc3",
+        b"truncated \xe2\x82",
+        b"",
+    ]
+    df = spark.createDataFrame([(r,) for r in raws], "html binary")
+    got = [r.text for r in df.select(decode_html("html").alias("text")).collect()]
+    want = [r.decode("utf-8", errors="replace") for r in raws]
+    assert got == want

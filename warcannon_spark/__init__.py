@@ -1,0 +1,24 @@
+"""warcannon_spark — a from-scratch, PySpark-native "grep the internet" engine.
+
+Re-expresses the query and data-processing capabilities of c6fc/warcannon
+(reference at /root/reference, studied structurally in SURVEY.md) as an
+idiomatic Spark DataFrame engine:
+
+- fused multi-pattern regex extraction over a Common-Crawl-style ``pages``
+  table (Arrow-vectorized pandas UDF, byte-exact parity with the reference's
+  JS matcher semantics — see ``warcannon_spark.matches``),
+- per-domain match-count rollups with top-3 first-seen URIs
+  (``warcannon_spark.operators.rollup``),
+- a URL frontier + fetch scheduler: canonicalized-URL hashing, partitioned
+  Bloom seen-set, per-host politeness windows with skew salting, robots
+  gating, snapshot checkpoint/resume (``warcannon_spark.plans``),
+- training-data pipeline operators: dedup (exact / MinHash-LSH / SimHash /
+  n-gram Jaccard), embedding similarity search, text quality/lang-id/token
+  stats (``warcannon_spark.operators``).
+
+Everything is DataFrame-first: native column expressions wherever possible,
+Arrow-batched pandas UDFs where Spark lacks the semantics, no per-row Python
+UDFs, no driver-side loops over collected data in any hot path.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,33 @@
+"""Hash helpers.
+
+Two families, used deliberately:
+
+* ``xxhash64(...)`` (native Spark) — the engine-internal hash for frontier
+  URL keys, salting and bucketing (north_star: "URL-seen set keyed by
+  canonicalized-URL xxhash64"). Fast, JVM-side, whole-stage-codegen'd.
+
+* ``h64`` / ``H64_SQL`` — a PORTABLE 60-bit hash (top 15 hex digits of md5)
+  computable identically in Spark and DuckDB. Used only in oracle-checked
+  queries so the driver's value-hash comparison sees bit-identical numbers
+  from both engines; never in hot paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def h64(col: Column) -> Column:
+    """Portable 60-bit hash: BIGINT from the first 15 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def h64_sql(expr: str) -> str:
+    """DuckDB rendering of ``h64`` over an arbitrary SQL expression."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def url_hash(col: Column) -> Column:
+    """Engine-internal frontier key: xxhash64 of the canonical URL."""
+    return F.xxhash64(col)

@@ -1,0 +1,100 @@
+"""Bit-exact Python equivalents of the JavaScript/Node primitives the
+reference matcher depends on.
+
+The reference's extraction loop (``/root/reference/lambda_functions/warcannon/
+parse_regex.js:120-153``) and its custom match functions
+(``matches.js:40-100``) lean on Node-specific string/buffer behavior. Parity
+("byte-identical extracted text per url", BASELINE.json:16) requires
+replicating that behavior exactly, so it is isolated here and pinned by unit
+tests (tests/test_jscompat.py) including goldens produced by executing the
+reference's own matches.js under Node.
+"""
+
+from __future__ import annotations
+
+import base64
+import re
+
+# Buffer.toString() with no args decodes UTF-8 with U+FFFD replacement for
+# invalid sequences (parse_regex.js:120). Python equivalent:
+def buffer_to_utf8(raw: bytes) -> str:
+    """Node ``Buffer.prototype.toString()`` — UTF-8, errors → U+FFFD."""
+    return raw.decode("utf-8", errors="replace")
+
+
+# Node 'ascii' decoding strips the high bit of every byte
+# (Buffer.toString('ascii'), used at matches.js:52,84).
+_ASCII_STRIP_TABLE = bytes(b & 0x7F for b in range(256))
+
+
+def node_ascii_decode(raw: bytes) -> str:
+    """Node ``buf.toString('ascii')`` — high bit stripped per byte."""
+    return raw.translate(_ASCII_STRIP_TABLE).decode("ascii")
+
+
+_NON_B64 = re.compile(r"[^A-Za-z0-9+/]")
+_URLSAFE_TRANS = str.maketrans("-_", "+/")
+
+
+def node_b64decode(s: str) -> bytes:
+    """Node ``Buffer.from(s, 'base64')`` — lenient decoder.
+
+    Node's base64 decoder (used at matches.js:52,84):
+      * accepts BOTH the standard and url-safe alphabets ('-'→62, '_'→63),
+      * stops consuming at the first '=',
+      * ignores any other invalid characters,
+      * never throws: a trailing lone sextet (len % 4 == 1) is dropped,
+        2- or 3-char tails decode to 1 or 2 bytes.
+    """
+    eq = s.find("=")
+    if eq >= 0:
+        s = s[:eq]
+    s = s.translate(_URLSAFE_TRANS)
+    s = _NON_B64.sub("", s)
+    if len(s) % 4 == 1:
+        s = s[:-1]
+    pad = (-len(s)) % 4
+    return base64.b64decode(s + "=" * pad)
+
+
+def js_replace_first(s: str, old: str, new: str) -> str:
+    """JS ``String.prototype.replace(str, str)`` replaces only the FIRST
+    occurrence — the deliberate fidelity trap in the reference's
+    safebase64_url handler (matches.js:79), which only fixes up the first
+    '-' and first '_' before padding/decoding."""
+    return s.replace(old, new, 1)
+
+
+# The exact JS WhiteSpace ∪ LineTerminator set trimmed by String.prototype
+# .trim() (ECMA-262): ASCII whitespace, NBSP, Ogham, Zs spaces, LS/PS,
+# NNBSP, MMSP, ideographic space, BOM. Spark's native trim() strips only
+# 0x20, so normalization uses a regex with this class instead.
+JS_TRIM_CLASS = (
+    "\\t\\n\\x0B\\f\\r \\u00A0\\u1680\\u2000-\\u200A"
+    "\\u2028\\u2029\\u202F\\u205F\\u3000\\uFEFF"
+)
+_JS_TRIM_RE = re.compile(f"^[{JS_TRIM_CLASS}]+|[{JS_TRIM_CLASS}]+$")
+_QUOTE_STRIP_RE = re.compile("['\"]+")
+
+
+def js_trim(s: str) -> str:
+    """ECMA-262 ``String.prototype.trim()``."""
+    return _JS_TRIM_RE.sub("", s)
+
+
+def normalize_value_py(s: str) -> str:
+    """Python mirror of parse_regex.js:141 — trim, then strip ALL quotes.
+    Used by tests to cross-check the Spark-native normalize_value()."""
+    return _QUOTE_STRIP_RE.sub("", js_trim(s))
+
+
+def js_source_to_python(source: str) -> str:
+    """Translate a JS RegExp source to an equivalent Python ``re`` source.
+
+    The reference's patterns (matches.js:15-36) use only constructs with
+    identical semantics in Python's ``re`` when compiled with ``re.ASCII``
+    (JS regexes without the ``u`` flag treat \\d/\\w/\\s as ASCII). JS
+    named groups ``(?<n>...)`` become ``(?P<n>...)``; none of the shipped
+    patterns contain named groups themselves — fusion adds them.
+    """
+    return re.sub(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>", r"(?P<\1>", source)

@@ -1,0 +1,138 @@
+"""Match configuration: the reference's bundled matchers, re-expressed for a
+vectorized Spark engine.
+
+The pattern SOURCES are the reference's shipped matcher config
+(``/root/reference/lambda_functions/warcannon/matches.js:15-36``) — they are
+configuration data the engine must reproduce verbatim (BASELINE.json
+north_star: "warcannon's bundled regex matchers ... from its matches.js"),
+not engine code. Everything around them (fusion, vectorized custom
+functions) is a fresh Spark-first design.
+
+Fusion semantics (parse_regex.js:14-16,120-124): all patterns are combined
+into ONE alternation ``(?P<name_i>pattern_i)|...`` scanned left-to-right.
+This is semantic, not an optimization — a region consumed by an earlier
+alternative is invisible to later ones, and the first alternative in
+declaration order wins ties at the same start offset. Running patterns
+independently produces DIFFERENT results (e.g. every std-base64 URL is
+claimed by ``safebase64_url``, declared first, so ``base64_url`` only fires
+where the safe variant's regex fails).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+import pandas as pd
+
+from .jscompat import js_source_to_python, node_ascii_decode, node_b64decode
+
+# --- mime / domain gates (matches.js:3-13) --------------------------------
+# The BASELINE.json input_hint pages schema carries no mime column (the
+# corpus is pre-filtered at ingest, SURVEY §2.2 F1/F2); the hooks are kept
+# so a pages table WITH a mime column gets the same gating.
+MIME_TYPES: list[str] = [
+    "text/html",
+    "text/javascript",
+    "text/ecmascript",
+    "application/javascript",
+    "application/ecmascript",
+    "application/json",
+]
+
+DOMAINS: list[str] = []  # empty ⇒ keep all (parse_regex.js:110-112)
+
+# --- regex patterns (verbatim sources, matches.js:15-36) -------------------
+# Insertion order == JS object key order == fused alternation priority.
+REGEX_PATTERNS: dict[str, str] = {
+    "access_key_id": r"""(\'A|"A)(SIA|KIA|IDA|ROA)[JI][A-Z0-9]{14}[AQ][\'"]""",
+    "user_pool_id": r"""[\'"](us|ap|ca|eu)((-gov)|(-iso(b?)))?-[a-z]+-\d{1}_[a-zA-Z0-9]{9}[\'"]""",
+    "identity_pool_id": r"""[\'"](us|ap|ca|eu)((-gov)|(-iso(b?)))?-[a-z]+-\d{1}:[a-f0-9]{8}-[a-f0-9]{4}-[a-f0-9]{4}-[a-f0-9]{4}-[a-f0-9]{12}[\'"]""",
+    "hosted_ui": r"""[\'"]https:\/\/[^ ]+?\/login\?[^ ]*?client_id=[a-z0-9]{26}[^ ]""",
+    "cognito_domain": r"""[\'"]https:\/\/[a-z0-9\-]+\.auth\.(us|ap|ca|eu)((-gov)|(-iso(b?)))?-[a-z]+-\d{1}\.amazoncognito\.com""",
+    "assumerolewithwebidentity": r"""assumeRoleWithWebIdentity\(""",
+    "arn": r"""arn:aws:[a-z0-9-]+:((us|ap|ca|eu)((-gov)|(-iso(b?)))?-[a-z]+-\d{1})?:(\d{12})?:[a-z0-9-]+([\/:][a-zA-Z0-9_+=,.@-]+)?""",
+    "google_appid": r"""[\'"][0-9]{12}-[0-9a-z]{32}\.apps\.googleusercontent\.com[\'"]""",
+    "amazon_appid": r"""[\'"]amzn1\.application-oa2-client\.[0-9a-f]{32}[\'"]""",
+    "amazon_authorize": r"""amazon\.Login\.authorize\(""",
+    "s3_buckets": r"""https?:\/\/[^ \.\/]+?\.s3\.amazonaws\.com""",
+    "safebase64_url": r"""['"]https?:\/\/[^'"]+[&?/]{1}aHR0c[A-Za-z0-9_-]+[^ ]*?['"]""",
+    "base64_url": r"""['"]https?:\/\/[^'"]+[&?/]{1}aHR0c[A-Za-z0-9+/]+={0,2}[^ ]*?['"]""",
+}
+
+_FUSED: re.Pattern[str] | None = None
+
+
+def fused_pattern() -> re.Pattern[str]:
+    """Compile (once per process) the single fused alternation, exactly as
+    parse_regex.js:14-16 does at module load. ``re.ASCII`` pins \\d to the
+    JS (non-unicode-mode) ASCII semantics."""
+    global _FUSED
+    if _FUSED is None:
+        _FUSED = re.compile(
+            "|".join(
+                f"(?P<{name}>{js_source_to_python(src)})"
+                for name, src in REGEX_PATTERNS.items()
+            ),
+            re.ASCII,
+        )
+    return _FUSED
+
+
+# --- custom functions (vectorized; semantics of matches.js:40-100) ---------
+# Contract: fn(pd.Series[str]) -> pd.Series[object] where None == dropped
+# (the reference's `return false`), else the (possibly transformed) value.
+# The shipped functions never transform — they filter.
+
+_B64_DROP_SUBSTRINGS = ("google.com/recaptcha/", "uenc/aHR0c", "/referer/aHR0c")
+_TEXT_DROP_SUBSTRINGS = ("\n", "\r", "commoncrawl.org")
+_B64_INNER = re.compile(r"aHR0c[A-Za-z0-9+/]+={0,2}", re.ASCII)
+_SAFE_INNER = re.compile(r"aHR0c[A-Za-z0-9_-]+", re.ASCII)
+
+
+def _decode_gate(match: str, inner: re.Pattern[str], urlsafe: bool) -> str | None:
+    """Shared body of the two base64 gates (matches.js:41-99)."""
+    for frag in _B64_DROP_SUBSTRINGS:
+        if frag in match:
+            return None
+    m = inner.search(match)
+    if m is None:  # JS: match() returns null → [0] throws → catch → false
+        return None
+    token = m.group(0)
+    if urlsafe:
+        # matches.js:79 — JS String.replace(str,str) fixes only the FIRST
+        # '-' and FIRST '_'; Node's decoder accepts the rest as url-safe.
+        token = token.replace("-", "+", 1).replace("_", "/", 1)
+        while len(token) % 4:
+            token += "="
+    try:
+        text = node_ascii_decode(node_b64decode(token))
+    except Exception:
+        return None
+    for frag in _TEXT_DROP_SUBSTRINGS:
+        if frag in text:
+            return None
+    return match
+
+
+def _vectorized_gate(inner: re.Pattern[str], urlsafe: bool):
+    def fn(s: pd.Series) -> pd.Series:
+        # Vectorized prefilter: the three substring drops knock out the
+        # bulk; the decode check runs only on survivors.
+        mask = pd.Series(True, index=s.index)
+        for frag in _B64_DROP_SUBSTRINGS:
+            mask &= ~s.str.contains(frag, regex=False)
+        out = pd.Series([None] * len(s), index=s.index, dtype=object)
+        if mask.any():
+            out[mask] = [
+                _decode_gate(v, inner, urlsafe) for v in s[mask]
+            ]
+        return out
+
+    return fn
+
+
+CUSTOM_FUNCTIONS: dict[str, Callable[[pd.Series], pd.Series]] = {
+    "base64_url": _vectorized_gate(_B64_INNER, urlsafe=False),
+    "safebase64_url": _vectorized_gate(_SAFE_INNER, urlsafe=True),
+}

@@ -1,0 +1,180 @@
+"""The core extraction operator (SURVEY §2.3 X1): fused multi-pattern regex
+scan over page text, as an Arrow-vectorized pandas UDF + explode.
+
+Pipeline shape (all hot-path filters/projections are native Column
+expressions so Catalyst pushes them into the parquet scan BEFORE the UDF
+barrier — SURVEY §4 O2):
+
+    pages ──select(url, order-key, text)──▶ extract_matches(text) ──▶
+      size(ms)>0 filter ──▶ explode ──▶ native normalize/sha1/domain
+
+Parity notes (every rule pinned by tests/test_matcher.py against goldens
+produced by executing the reference's own matches.js under Node):
+  * one fused alternation, leftmost match, declaration-order priority,
+    non-overlapping regions (parse_regex.js:14-16,120-124);
+  * custom functions filter matches BEFORE counting (parse_regex.js:131-140);
+  * normalization AFTER counting: trim, then strip ALL single/double quotes
+    (parse_regex.js:141);
+  * dedup key = sha1 hex of the normalized value (parse_regex.js:142,232-234);
+  * rollup domain = url.split('/')[2] — the naive authority split, NOT
+    parse_url (parse_regex.js:107).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..jscompat import JS_TRIM_CLASS
+from ..matches import CUSTOM_FUNCTIONS, DOMAINS, MIME_TYPES, fused_pattern
+
+MATCH_ELEM = StructType(
+    [
+        StructField("pattern", StringType()),
+        StructField("value", StringType()),
+    ]
+)
+
+
+def extract_match_lists(texts: pd.Series) -> pd.Series:
+    """Batch kernel: Series[str] → Series[list[dict(pattern, value)]].
+
+    Matches are found row-by-row (regex scanning is inherently sequential
+    per document) but custom functions run vectorized: all matches of one
+    pattern across the whole Arrow batch are gathered into a single
+    pd.Series and filtered in one call (the reference runs them per match,
+    parse_regex.js:131-138 — same result, batch execution).
+    """
+    fused = fused_pattern()
+    rows: list[list[tuple[str, str]]] = []
+    by_pattern: dict[str, list[tuple[int, int]]] = {}
+    for i, text in enumerate(texts):
+        row: list[tuple[str, str]] = []
+        if isinstance(text, str) and text:
+            for m in fused.finditer(text):
+                name = m.lastgroup
+                row.append((name, m.group(0)))
+                if name in CUSTOM_FUNCTIONS:
+                    by_pattern.setdefault(name, []).append((i, len(row) - 1))
+        rows.append(row)
+
+    for name, slots in by_pattern.items():
+        fn = CUSTOM_FUNCTIONS[name]
+        raw = pd.Series([rows[i][j][1] for i, j in slots], dtype=object)
+        kept = fn(raw)
+        for (i, j), v in zip(slots, kept):
+            rows[i][j] = (name, v)  # v is None when dropped
+
+    return pd.Series(
+        [
+            [{"pattern": p, "value": v} for p, v in row if v is not None]
+            for row in rows
+        ],
+        dtype=object,
+    )
+
+
+extract_matches = F.pandas_udf(extract_match_lists, ArrayType(MATCH_ELEM))
+
+
+def domain_of(url: Column) -> Column:
+    """parse_regex.js:107 — ``uri.split('/')[2]`` (keeps host:port, no
+    validation). Must stay this naive for rollup parity.
+
+    ``F.get`` (not getItem) so out-of-bounds yields NULL under Spark 4
+    ANSI mode instead of raising; JS yields ``undefined`` there, which the
+    reference then uses as the literal object key "undefined" — coalesce
+    reproduces that byte-for-byte in the rollup."""
+    return F.coalesce(F.get(F.split(url, "/"), 2), F.lit("undefined"))
+
+
+def normalize_value(value: Column) -> Column:
+    """parse_regex.js:141 — trim whitespace, then strip every single/double
+    quote anywhere in the string (order matters: trim first).
+
+    JS ``trim()`` strips the full ECMA whitespace set; Spark's ``trim()``
+    strips only 0x20, so the trim is a regexp_replace with the exact JS
+    class (jscompat.JS_TRIM_CLASS) — still native/codegen'd."""
+    trimmed = F.regexp_replace(
+        value, f"^[{JS_TRIM_CLASS}]+|[{JS_TRIM_CLASS}]+$", ""
+    )
+    return F.regexp_replace(trimmed, "['\"]+", "")
+
+
+def match_hits(
+    pages: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+    passthrough: list[str] | None = None,
+    mime_col: str | None = None,
+) -> DataFrame:
+    """pages → one row per surviving match occurrence.
+
+    Output columns: ``url, domain, pattern, value, value_sha1`` plus any
+    ``passthrough`` columns (e.g. the deterministic order key).
+
+    ``value`` is the NORMALIZED value; counting rows of this frame
+    reproduces the reference's ``total_hits`` (occurrences are counted
+    after the custom-function gate, parse_regex.js:140 — normalization
+    never drops rows, so counting after it is equivalent).
+    """
+    passthrough = passthrough or []
+    cols = [url_col, *passthrough, text_col]
+    df = pages.select(*dict.fromkeys(cols))  # dedup, keep order
+
+    # Native pre-UDF gates (SURVEY §2.2 F2/F4): cheap Column filters stay
+    # ahead of the Python barrier so they push into the scan.
+    if mime_col is not None and MIME_TYPES:
+        df = df.filter(F.col(mime_col).isin(MIME_TYPES))
+    if DOMAINS:
+        df = df.filter(domain_of(F.col(url_col)).isin(DOMAINS))
+
+    exploded = (
+        df.withColumn("__ms", extract_matches(F.col(text_col)))
+        .filter(F.size("__ms") > 0)
+        .select(
+            F.col(url_col).alias("url"),
+            *[F.col(c) for c in passthrough],
+            F.explode("__ms").alias("__m"),
+        )
+        .select(
+            "url",
+            *passthrough,
+            F.col("__m.pattern").alias("pattern"),
+            normalize_value(F.col("__m.value")).alias("value"),
+        )
+    )
+    return exploded.withColumn("value_sha1", F.sha1(F.col("value"))).withColumn(
+        "domain", domain_of(F.col("url"))
+    )
+
+
+def _decode_html_batch(raw: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else bytes(b).decode("utf-8", errors="replace") for b in raw],
+        dtype=object,
+    )
+
+
+decode_html_udf = F.pandas_udf(_decode_html_batch, StringType())
+
+
+def decode_html(html: Column) -> Column:
+    """C15 — byte-identical text extraction: UTF-8 decode with U+FFFD
+    replacement, mirroring ``Buffer.toString()`` at parse_regex.js:120
+    (Python ``bytes.decode('utf-8', errors='replace')``).
+
+    Implemented as an Arrow-batched pandas UDF because Spark's native
+    ``decode()`` replacement policy is charset/ANSI-mode dependent; the
+    invariant is pinned by tests with planted invalid byte sequences
+    (tests/test_matcher.py). Ingest-time only — query paths read the
+    pre-extracted ``text`` column.
+    """
+    return decode_html_udf(html)

@@ -1,0 +1,107 @@
+"""Rollup aggregations (SURVEY §2.4 A1-A3, A6) over the match-hit stream.
+
+The reference folds matches into a nested JSON document
+(``{total_hits, regex_hits: {pattern → {sha1 → {value, domain → [uri×≤3]}}}}``,
+parse_regex.js:41-44,140-153 merged at warcannon.js:292-318). Here the same
+information is a flat DataFrame keyed by (pattern, value_sha1, domain) —
+MapType nesting becomes group-by keys; the nested JSON is reconstructed only
+at export time (``results_document``) for byte-compatible fixtures.
+
+Scale design: the top-3-URI cap is enforced with a bounded window
+(row_number ≤ 3 over per-URI first-seen rows), NOT a collect_list over all
+hits — a planted secret appearing on millions of pages of one domain must
+not materialize millions of array elements in one aggregation buffer.
+Determinism: the reference's URI order is stream/completion order
+(nondeterministic across nodes); we pin first-seen order to the explicit
+sort key ``(order_col, url)`` — a documented improvement, fixture-pinned
+(SURVEY §2.4 A3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def match_rollup(
+    hits: DataFrame,
+    order_col: str = "fetch_seq",
+    group_value: str = "value_sha1",
+) -> DataFrame:
+    """hits (url, domain, pattern, value, value_sha1, <order_col>) →
+    one row per (pattern, <group_value>, domain):
+
+      hit_count  — surviving occurrences pre-dedup (A1/A2 contribution)
+      value      — representative value (identical across the group)
+      uris       — ≤3 distinct URIs in pinned first-seen order (A3/T3)
+    """
+    keys = ["pattern", group_value, "domain"]
+
+    # Stage 1 — per-URI partial: first-seen order key + occurrence count.
+    # Shuffles on (keys, url); partial aggregation is map-side combined.
+    per_uri = hits.groupBy(*keys, "url").agg(
+        F.count(F.lit(1)).alias("uri_hits"),
+        F.min(order_col).alias("first_seen"),
+        F.first("value").alias("value"),
+    )
+
+    # Stage 2 — bounded top-3 per group + total count. The window and the
+    # final groupBy share the same keys, so AQE reuses the exchange.
+    w = Window.partitionBy(*keys).orderBy("first_seen", "url")
+    ranked = per_uri.withColumn("rn", F.row_number().over(w))
+
+    return (
+        ranked.groupBy(*keys)
+        .agg(
+            F.sum("uri_hits").alias("hit_count"),
+            F.first("value").alias("value"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("rn") <= 3,
+                        F.struct("first_seen", "url"),
+                    )
+                )
+            ).alias("_top"),
+        )
+        .withColumn("uris", F.transform("_top", lambda s: s["url"]))
+        .drop("_top")
+        .select("pattern", group_value, "domain", "value", "hit_count", "uris")
+    )
+
+
+def total_hits(hits: DataFrame) -> DataFrame:
+    """A1 — global surviving-occurrence counter (parse_regex.js:140)."""
+    return hits.agg(F.count(F.lit(1)).alias("total_hits"))
+
+
+def quick_results(hits: DataFrame, order_col: str = "fetch_seq") -> DataFrame:
+    """A6 (bin/warcannon.js:421-448): per (pattern, value) keep the first
+    domain and its first URI — "first" pinned to (order_col, url)."""
+    w = Window.partitionBy("pattern", "value").orderBy(order_col, "url")
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "pattern",
+            "value",
+            F.col("domain").alias("first_domain"),
+            F.col("url").alias("first_uri"),
+        )
+    )
+
+
+def results_document(rollup_rows: list[dict], total: int) -> dict:
+    """Reconstruct the reference's nested results JSON (abstraction #4,
+    SURVEY §1.1) from collected rollup rows — export/fixture path only,
+    never part of a distributed plan."""
+    doc: dict = {"total_hits": total, "regex_hits": {}}
+    for row in rollup_rows:
+        pat = doc["regex_hits"].setdefault(row["pattern"], {})
+        ent = pat.setdefault(row["value_sha1"], {"value": row["value"]})
+        ent.setdefault(row["domain"], [])
+        uris = ent[row["domain"]]
+        for u in row["uris"]:
+            if len(uris) < 3 and u not in uris:
+                uris.append(u)
+    return doc

@@ -1,0 +1,64 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Defaults are chosen for the 100 TB / multi-executor target and verified at
+local[8] vs local[32] (BENCH/BASELINE.md): AQE on (runtime coalesce + skew
+join splitting), Arrow on (every Python crossing is a vectorized batch),
+shuffle partitions sized to cores locally (a real cluster submits with
+``spark.sql.shuffle.partitions ≈ 2-3 × total cores``).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import SparkSession
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def get_spark(
+    app_name: str = "warcannon-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] → N-ish reducers; cluster submits override this.
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+
+    # Python workers must be able to import warcannon_spark (UDF closures
+    # reference module-level state by name). Works for local mode; cluster
+    # mode ships the package via spark-submit --py-files.
+    pypath = os.environ.get("PYTHONPATH", "")
+    if REPO_ROOT not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            REPO_ROOT + (os.pathsep + pypath if pypath else "")
+        )
+    if REPO_ROOT not in sys.path:
+        sys.path.insert(0, REPO_ROOT)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bound Arrow batch size: pages rows carry whole documents, so a
+        # batch of 2048 pages × ~50 KB text ≈ 100 MB peak per Python worker.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+        .config("spark.python.worker.reuse", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
