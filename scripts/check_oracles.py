@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Local mirror of the driver's correctness gate: run every queries() entry
+through Spark AND its oracle_sql() through DuckDB on the same parquet
+tables, compare row count, sorted column names, and an order-insensitive
+multiset of stringified rows.
+
+Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def normalize_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return f"{v:.6f}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def row_multiset(cols: list[str], rows: list[tuple]) -> dict:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out: dict[str, int] = {}
+    for r in rows:
+        key = "\x1f".join(normalize_cell(r[i]) for i in order)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from warcannon_spark.session import get_spark
+
+    spark = get_spark(app_name="check-oracles", master="local[8]", shuffle_partitions=16)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        spark_t = time.time() - t0
+        if name not in oracles:
+            print(f"  {name:28s} rows={len(srows):6d} (rows-only, no oracle) {spark_t:5.1f}s")
+            if len(srows) == 0:
+                failures.append((name, "zero rows in rows-only query"))
+            continue
+        t0 = time.time()
+        res = con.execute(oracles[name])
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        duck_t = time.time() - t0
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+        if not problems:
+            sm = row_multiset(scols, srows)
+            om = row_multiset(ocols, orows)
+            if sm != om:
+                diff_s = [k for k in sm if sm[k] != om.get(k)][:3]
+                diff_o = [k for k in om if om[k] != sm.get(k)][:3]
+                problems.append(f"values spark-only={diff_s} duck-only={diff_o}")
+        status = "OK " if not problems else "FAIL"
+        print(
+            f"  {name:28s} rows={len(srows):6d} {status} spark={spark_t:5.1f}s duck={duck_t:4.1f}s"
+        )
+        for p in problems:
+            print(f"      !! {p}")
+            failures.append((name, p))
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} FAILURES")
+        return 1
+    print("\nall oracle checks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -36,37 +36,42 @@ def match_rollup(
       uris       — ≤3 distinct URIs in pinned first-seen order (A3/T3)
     """
     keys = ["pattern", group_value, "domain"]
+    carry_value = group_value != "value"
 
     # Stage 1 — per-URI partial: first-seen order key + occurrence count.
     # Shuffles on (keys, url); partial aggregation is map-side combined.
-    per_uri = hits.groupBy(*keys, "url").agg(
+    stage1_aggs = [
         F.count(F.lit(1)).alias("uri_hits"),
         F.min(order_col).alias("first_seen"),
-        F.first("value").alias("value"),
-    )
+    ]
+    if carry_value:
+        stage1_aggs.append(F.first("value").alias("value"))
+    per_uri = hits.groupBy(*keys, "url").agg(*stage1_aggs)
 
     # Stage 2 — bounded top-3 per group + total count. The window and the
     # final groupBy share the same keys, so AQE reuses the exchange.
     w = Window.partitionBy(*keys).orderBy("first_seen", "url")
     ranked = per_uri.withColumn("rn", F.row_number().over(w))
 
+    stage2_aggs = [
+        F.sum("uri_hits").alias("hit_count"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("rn") <= 3, F.struct("first_seen", "url"))
+            )
+        ).alias("_top"),
+    ]
+    if carry_value:
+        stage2_aggs.append(F.first("value").alias("value"))
+    out_cols = ["pattern", group_value, "domain"]
+    if carry_value:
+        out_cols.append("value")
     return (
         ranked.groupBy(*keys)
-        .agg(
-            F.sum("uri_hits").alias("hit_count"),
-            F.first("value").alias("value"),
-            F.array_sort(
-                F.collect_list(
-                    F.when(
-                        F.col("rn") <= 3,
-                        F.struct("first_seen", "url"),
-                    )
-                )
-            ).alias("_top"),
-        )
+        .agg(*stage2_aggs)
         .withColumn("uris", F.transform("_top", lambda s: s["url"]))
         .drop("_top")
-        .select("pattern", group_value, "domain", "value", "hit_count", "uris")
+        .select(*out_cols, "hit_count", "uris")
     )
 
 

@@ -1,0 +1,356 @@
+"""The engine's query surface: every entry is a (PySpark builder, DuckDB
+oracle SQL) pair wired into ``__spark_entry__.py``.
+
+Conventions that keep the driver's order-insensitive value-hash comparison
+honest across engines:
+  * oracle-checked outputs carry only strings/BIGINTs — float sums and
+    timestamps never cross the comparison boundary (counts in integer
+    cents/micros instead);
+  * every aggregate/computed column is aliased identically on both sides;
+  * DuckDB sums are CAST to BIGINT (DuckDB widens to HUGEINT);
+  * the portable hash ``h64`` (md5-prefix) is used where both engines must
+    agree on a hash value; engine-internal paths use native xxhash64.
+
+The synthetic ``pages`` corpus is derived from ``documents`` by identical
+pure-string expressions on both sides (sources/pages.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.hashing import h64, h64_sql
+from .matches import REGEX_PATTERNS
+from .operators.matcher import domain_of, match_hits
+from .operators.rollup import match_rollup, quick_results, total_hits
+from .sources.pages import PAGES_CTE, pages_df
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _sq(s: str) -> str:
+    """Escape a string for a single-quoted DuckDB literal."""
+    return s.replace("'", "''")
+
+
+# =========================================================================
+# §A — the matcher surface (SURVEY §2.3 X1, §2.2 F3/F7/F8, §2.4 A1-A3/A6)
+# =========================================================================
+# The SQL oracle re-extracts with per-pattern RE2 regexes. That is only
+# equivalent to the fused scan when planted secrets don't overlap across
+# patterns — guaranteed by the synthetic corpus construction; the
+# overlap/priority semantics are pinned separately against the Node oracle
+# (tests/test_matcher.py). base64_url is intentionally absent here: in the
+# fused scan safebase64_url (declared first) claims every std-base64 URL.
+
+_ORACLE_PATTERNS = [
+    "access_key_id",
+    "user_pool_id",
+    "arn",
+    "amazon_authorize",
+    "s3_buckets",
+    "safebase64_url",
+]
+
+_HITS_CTE = (
+    PAGES_CTE
+    + ", hits AS (\n"
+    + "\nUNION ALL\n".join(
+        f"  SELECT url, fetch_seq, '{p}' AS pattern,\n"
+        f"         unnest(regexp_extract_all(text, '{_sq(REGEX_PATTERNS[p])}')) AS raw\n"
+        f"  FROM pages"
+        for p in _ORACLE_PATTERNS
+    )
+    + "\n), nhits AS (\n"
+    # custom-fn drop prefilters (matches.js:42-46); planted tokens decode
+    # clean so the decode gate is a no-op on this corpus.
+    "  SELECT url, fetch_seq, pattern,\n"
+    "         regexp_replace(trim(raw), '[''\"]+', '', 'g') AS value,\n"
+    "         split_part(url, '/', 3) AS domain\n"
+    "  FROM hits\n"
+    "  WHERE NOT (pattern = 'safebase64_url' AND (\n"
+    "        contains(raw, 'google.com/recaptcha/') OR\n"
+    "        contains(raw, 'uenc/aHR0c') OR contains(raw, '/referer/aHR0c')))\n"
+    ")"
+)
+
+
+def _hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return match_hits(pages_df(spark, sf_dir), passthrough=["fetch_seq"])
+
+
+@_q(
+    "match_extract",
+    f"WITH {_HITS_CTE} SELECT url, pattern, value FROM nhits",
+)
+def q_match_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+F7: fused extraction, one row per surviving match occurrence."""
+    return _hits(spark, sf_dir).select("url", "pattern", "value")
+
+
+@_q(
+    "match_total_hits",
+    f"WITH {_HITS_CTE} SELECT count(*) AS total_hits FROM nhits",
+)
+def q_match_total_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the global surviving-occurrence counter."""
+    return total_hits(_hits(spark, sf_dir))
+
+
+@_q(
+    "match_rollup",
+    f"""WITH {_HITS_CTE},
+per_uri AS (
+  SELECT pattern, value, domain, url,
+         count(*) AS uri_hits, min(fetch_seq) AS first_seen
+  FROM nhits GROUP BY pattern, value, domain, url
+)
+SELECT pattern, value, domain,
+       CAST(sum(uri_hits) AS BIGINT) AS hit_count,
+       array_to_string((list(url ORDER BY first_seen, url))[1:3], '|') AS uris_csv
+FROM per_uri GROUP BY pattern, value, domain""",
+)
+def q_match_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3/T3: per-(pattern, value, domain) rollup, top-3 first-seen URIs."""
+    roll = match_rollup(_hits(spark, sf_dir), order_col="fetch_seq", group_value="value")
+    return roll.select(
+        "pattern",
+        "value",
+        "domain",
+        "hit_count",
+        F.array_join("uris", "|").alias("uris_csv"),
+    )
+
+
+@_q(
+    "quick_results",
+    f"""WITH {_HITS_CTE}
+SELECT pattern, value, domain AS first_domain, url AS first_uri FROM (
+  SELECT *, row_number() OVER (PARTITION BY pattern, value
+                               ORDER BY fetch_seq, url) AS rn
+  FROM nhits
+) WHERE rn = 1""",
+)
+def q_quick_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: first domain + first URI per unique (pattern, value)."""
+    return quick_results(_hits(spark, sf_dir), order_col="fetch_seq")
+
+
+@_q(
+    "index_rollup_hosts",
+    f"""WITH {PAGES_CTE}
+SELECT host, count(*) AS num FROM pages
+GROUP BY host ORDER BY num DESC, host LIMIT 50""",
+)
+def q_index_rollup_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/T1/T2: the Athena-style index rollup (README.md:202-213) over the
+    pages corpus — hash agg, order, limit, deterministic tie-break."""
+    return (
+        pages_df(spark, sf_dir)
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("num"))
+        .orderBy(F.desc("num"), "host")
+        .limit(50)
+    )
+
+
+# =========================================================================
+# §B — frontier primitives as queries (SURVEY §2.5 J3/J4, §2.6 W1/W3)
+# =========================================================================
+
+
+@_q(
+    "frontier_new_urls",
+    f"""WITH {PAGES_CTE}
+SELECT url, {h64_sql('url')} AS url_hash
+FROM pages WHERE fetch_seq % 2 = 0
+  AND url NOT IN (SELECT url FROM pages WHERE fetch_seq % 3 = 0)""",
+)
+def q_frontier_new_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: URL-seen check as a left anti-join (exact path; the Bloom path
+    is verified against this in tests)."""
+    pages = pages_df(spark, sf_dir)
+    candidates = pages.filter(F.col("fetch_seq") % 2 == 0).select("url")
+    seen = pages.filter(F.col("fetch_seq") % 3 == 0).select("url")
+    return candidates.join(seen, "url", "left_anti").select(
+        "url", h64(F.col("url")).alias("url_hash")
+    )
+
+
+@_q(
+    "politeness_topk",
+    f"""WITH {PAGES_CTE}
+SELECT host, url, host_rank FROM (
+  SELECT host, url, row_number() OVER (
+    PARTITION BY host ORDER BY priority DESC, url) AS host_rank
+  FROM pages
+) WHERE host_rank <= 3""",
+)
+def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W3: per-host politeness budget — top-k per host per round under a
+    deterministic total order (priority desc, url)."""
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), "url")
+    return (
+        pages_df(spark, sf_dir)
+        .withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= 3)
+        .select("host", "url", "host_rank")
+    )
+
+
+@_q(
+    "robots_gate",
+    f"""WITH {PAGES_CTE},
+annotated AS (
+  SELECT url, host,
+         CAST(regexp_extract(host, 'h(\\d+)', 1) AS INT) AS hid,
+         '/p/' || CAST(fetch_seq AS VARCHAR) AS path
+  FROM pages
+)
+SELECT url, host FROM annotated
+WHERE NOT ((hid % 4 = 1 AND starts_with(path, '/p/'))
+        OR (hid % 4 = 2 AND starts_with(path, '/p/1')))""",
+)
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: robots prefix gating (simplified single-rule form; the full
+    robots.txt longest-prefix matcher lives in plans/robots.py)."""
+    pages = pages_df(spark, sf_dir).select(
+        "url",
+        "host",
+        F.regexp_extract("host", r"h(\d+)", 1).cast("int").alias("hid"),
+        F.concat(F.lit("/p/"), F.col("fetch_seq").cast("string")).alias("path"),
+    )
+    blocked = (
+        ((F.col("hid") % 4 == 1) & F.col("path").startswith("/p/"))
+        | ((F.col("hid") % 4 == 2) & F.col("path").startswith("/p/1"))
+    )
+    return pages.filter(~blocked).select("url", "host")
+
+
+# =========================================================================
+# §C — relational breadth over the TPC-H-ish tables (SURVEY §2.4-2.8)
+# =========================================================================
+
+
+@_q(
+    "tpch_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_tenthmils,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-style partial/final hash aggregation; money in integer cents so
+    the cross-engine hash compare never sees float sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "sum_base_cents"
+        ),
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
+                "long"
+            )
+        ).alias("sum_disc_tenthmils"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@_q(
+    "top_customers",
+    """SELECT c_custkey, c_name,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue_cents DESC, c_custkey LIMIT 10""",
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast equi-join (dim side hinted) + top-k with tie-break."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            )
+        )
+        .orderBy(F.desc("revenue_cents"), "c_custkey")
+        .limit(10)
+    )
+
+
+@_q(
+    "customers_without_big_orders",
+    """SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)""",
+)
+def q_customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti-join (the J3 shape on relational data): customers who
+    never placed an order above 300k."""
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return customer.join(big, "c_custkey", "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
+    "parts_in_bulk_orders",
+    """SELECT p_partkey, p_name FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)""",
+)
+def q_parts_in_bulk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi-join (J2's membership filter at table scale)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return part.join(
+        li, part.p_partkey == li.l_partkey, "left_semi"
+    ).select("p_partkey", "p_name")
+
+
+@_q(
+    "events_by_type",
+    """SELECT event_type, count(*) AS num, count(DISTINCT user_id) AS users
+FROM events GROUP BY event_type""",
+)
+def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain + distinct aggregate over the stream table."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("num"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
