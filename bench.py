@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The flagship number is end-to-end matcher throughput (pages/sec) over a
+thickened synthetic corpus (multiply×repeat fan the 5000 sf0.1 documents
+into ~100k pages of a few KB — Common-Crawl-ish text density), which is
+the metric BASELINE.json names. Scaling-efficiency evidence (local[8] vs
+local[32]) is produced separately by scripts/scaling_bench.py into
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+MULTIPLY = int(os.environ.get("BENCH_PAGE_MULTIPLY", "20"))
+REPEAT = int(os.environ.get("BENCH_TEXT_REPEAT", "12"))
+
+
+def main() -> None:
+    from warcannon_spark.operators.matcher import match_hits
+    from warcannon_spark.operators.rollup import match_rollup
+    from warcannon_spark.queries import QUERIES
+    from warcannon_spark.session import get_spark
+    from warcannon_spark.sources.pages import pages_df
+
+    spark = get_spark(
+        app_name="warcannon-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS * 2, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # -- flagship: fused-matcher campaign over the thickened corpus -------
+    bench_pages = pages_df(spark, SF_DIR, repeat=REPEAT, multiply=MULTIPLY)
+    bench_pages = bench_pages.repartition(CPUS * 2).persist()
+    n_pages = bench_pages.count()
+    n_bytes = bench_pages.agg(
+        F.sum(F.octet_length("text")).alias("b")
+    ).collect()[0][0]
+
+    t0 = time.time()
+    rollup = match_rollup(
+        match_hits(bench_pages, passthrough=["fetch_seq"]),
+        order_col="fetch_seq",
+    )
+    n_rollup = rollup.count()
+    dt = time.time() - t0
+    timings["match_campaign"] = round(dt, 3)
+    extras["pages"] = n_pages
+    extras["pages_per_sec"] = round(n_pages / dt, 1)
+    extras["mb_per_sec"] = round(n_bytes / dt / 1e6, 1)
+    extras["rollup_rows"] = n_rollup
+    bench_pages.unpersist()
+
+    # -- per-query headline set (same entries the driver oracle-checks) ---
+    for name in [
+        "match_rollup",
+        "index_rollup_hosts",
+        "frontier_new_urls",
+        "politeness_topk",
+        "robots_gate",
+        "tpch_pricing_summary",
+        "top_customers",
+    ]:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "extras": extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -86,6 +86,28 @@ def test_corpus_exercises_every_pattern_and_drop(js_goldens):
     assert "base64_url" not in fired
 
 
+def test_prefilter_agrees_with_python_re():
+    """The RE2 containment prefilter must have ZERO false negatives vs the
+    exact Python fused scan (false positives are harmless)."""
+    import pandas as pd
+
+    from warcannon_spark.matches import fused_pattern
+    from warcannon_spark.operators.matcher import _re2_candidate_mask
+
+    texts = CORPUS + [
+        "A" * 10000,
+        "'\"'\"" * 500,
+        "us-east-1" * 100,
+        "arn:aws:" + "x" * 50,  # prefix only, no full match
+        "aHR0c" * 20,
+    ]
+    mask = _re2_candidate_mask(pd.Series(texts, dtype=object))
+    fp = fused_pattern()
+    truth = [fp.search(t) is not None for t in texts]
+    for t, m, want in zip(texts, mask, truth):
+        assert bool(m) == want, f"prefilter disagrees on {t[:60]!r}"
+
+
 def test_spark_pipeline_matches_python(spark):
     """End-to-end through Spark (pandas UDF + native normalize/sha1/domain)
     equals the driver-side mirror — pins the Spark-native expressions."""

@@ -60,6 +60,16 @@ REGEX_PATTERNS: dict[str, str] = {
     "base64_url": r"""['"]https?:\/\/[^'"]+[&?/]{1}aHR0c[A-Za-z0-9+/]+={0,2}[^ ]*?['"]""",
 }
 
+def fused_source() -> str:
+    """The fused alternation source, shared by the Python matcher and the
+    RE2 prefilter (pyarrow.compute) — RE2 accepts the same translated
+    syntax ((?P<name>...), lazy quantifiers, ASCII classes)."""
+    return "|".join(
+        f"(?P<{name}>{js_source_to_python(src)})"
+        for name, src in REGEX_PATTERNS.items()
+    )
+
+
 _FUSED: re.Pattern[str] | None = None
 
 
@@ -69,13 +79,7 @@ def fused_pattern() -> re.Pattern[str]:
     JS (non-unicode-mode) ASCII semantics."""
     global _FUSED
     if _FUSED is None:
-        _FUSED = re.compile(
-            "|".join(
-                f"(?P<{name}>{js_source_to_python(src)})"
-                for name, src in REGEX_PATTERNS.items()
-            ),
-            re.ASCII,
-        )
+        _FUSED = re.compile(fused_source(), re.ASCII)
     return _FUSED
 
 
@@ -136,3 +140,97 @@ CUSTOM_FUNCTIONS: dict[str, Callable[[pd.Series], pd.Series]] = {
     "base64_url": _vectorized_gate(_B64_INNER, urlsafe=False),
     "safebase64_url": _vectorized_gate(_SAFE_INNER, urlsafe=True),
 }
+
+
+# --- anchored windowed scan ------------------------------------------------
+# Python `re` scans the fused alternation at ~2-5 MB/s; pages that pass the
+# RE2 prefilter would still pay that over their full length. But every
+# possible match of every shipped pattern necessarily CONTAINS one of these
+# literal anchors (verified per pattern in test_matcher.py), so C-speed
+# str.find can locate all anchor occurrences, derive conservative windows
+# that provably contain any match touching that anchor, and run the exact
+# fused finditer only inside merged windows (pos/endpos — no slicing).
+#
+# Window bounds are exact-by-construction:
+#   * every pattern component after its anchor matches no 0x20 space, so a
+#     match ends before the next space after the anchor;
+#   * every pattern's start is within the same no-space run as the anchor,
+#     EXCEPT the base64 patterns whose [^'"]+ middle may span spaces — for
+#     the aHR0c anchor the window instead starts at the nearest quote
+#     before the anchor (the [^'"]+ run cannot contain quotes, so that IS
+#     the starting quote, or earlier).
+# Matches that could interact under the fused non-overlap rule necessarily
+# have overlapping windows, which merging unifies — so per-window scans
+# compose to exactly the global scan (property-tested vs the full scan).
+
+_STRONG_ANCHORS = (
+    "ASIA",
+    "AKIA",
+    "AIDA",
+    "AROA",
+    "arn:aws:",
+    "aHR0c",
+    ".s3.amazonaws.com",
+    "/login?",
+    ".amazoncognito.com",
+    "assumeRoleWithWebIdentity(",
+    ".apps.googleusercontent.com",
+    "amzn1.application-oa2-client.",
+    "amazon.Login.authorize(",
+)
+_QUOTE_REGION_ANCHORS = tuple(
+    q + r for q in "'\"" for r in ("us-", "ap-", "ca-", "eu-")
+)
+ANCHORS: tuple[str, ...] = _STRONG_ANCHORS + _QUOTE_REGION_ANCHORS
+
+
+def _anchor_windows(text: str) -> list[tuple[int, int]]:
+    n = len(text)
+    windows: list[tuple[int, int]] = []
+    for anchor in ANCHORS:
+        start = 0
+        while True:
+            pos = text.find(anchor, start)
+            if pos < 0:
+                break
+            if anchor == "aHR0c":
+                q = max(text.rfind('"', 0, pos), text.rfind("'", 0, pos))
+                lo = q if q >= 0 else 0
+            else:
+                sp = text.rfind(" ", 0, pos)
+                lo = sp + 1 if sp >= 0 else 0
+            ep = text.find(" ", pos + len(anchor))
+            hi = ep if ep >= 0 else n
+            windows.append((lo, hi))
+            start = pos + 1
+    if not windows:
+        return []
+    windows.sort()
+    merged = [windows[0]]
+    for lo, hi in windows[1:]:
+        plo, phi = merged[-1]
+        if lo <= phi:
+            merged[-1] = (plo, max(phi, hi))
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
+def find_matches(text: str) -> list[tuple[str, str]]:
+    """Exact fused scan of one page: anchored windows + fused finditer.
+
+    Falls back to a plain full scan when windows cover most of the page
+    (pathological anchor density — the window machinery would not help).
+    Returns [(pattern_name, raw_match), ...] in global match order.
+    """
+    fused = fused_pattern()
+    windows = _anchor_windows(text)
+    if not windows:
+        return []
+    if sum(hi - lo for lo, hi in windows) * 2 > len(text):
+        return [(m.lastgroup, m.group(0)) for m in fused.finditer(text)]
+    out: list[tuple[str, str]] = []
+    for lo, hi in windows:
+        for m in fused.finditer(text, lo, hi):
+            out.append((m.lastgroup, m.group(0)))
+    return out

@@ -33,7 +33,13 @@ from pyspark.sql.types import (
 )
 
 from ..jscompat import JS_TRIM_CLASS
-from ..matches import CUSTOM_FUNCTIONS, DOMAINS, MIME_TYPES, fused_pattern
+from ..matches import (
+    CUSTOM_FUNCTIONS,
+    DOMAINS,
+    MIME_TYPES,
+    find_matches,
+    fused_source,
+)
 
 MATCH_ELEM = StructType(
     [
@@ -43,24 +49,45 @@ MATCH_ELEM = StructType(
 )
 
 
+def _re2_candidate_mask(texts: pd.Series) -> "pd.Series":
+    """RE2-accelerated containment prefilter (pyarrow.compute, C++,
+    ~100× a Python-re scan). RE2 and Python ``re`` recognize the same
+    language for these patterns (no lookarounds/backrefs), so has-match
+    agrees exactly — pinned by test_matcher.test_prefilter_agrees.
+    Falls back to all-True if arrow compute is unavailable."""
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.Array.from_pandas(texts.astype(object))
+        mask = pc.fill_null(
+            pc.match_substring_regex(arr, fused_source()), False
+        )
+        return mask.to_pandas()
+    except Exception:
+        return pd.Series(True, index=range(len(texts)))
+
+
 def extract_match_lists(texts: pd.Series) -> pd.Series:
     """Batch kernel: Series[str] → Series[list[dict(pattern, value)]].
 
-    Matches are found row-by-row (regex scanning is inherently sequential
-    per document) but custom functions run vectorized: all matches of one
-    pattern across the whole Arrow batch are gathered into a single
-    pd.Series and filtered in one call (the reference runs them per match,
+    Two-phase scan: a vectorized RE2 containment prefilter over the whole
+    Arrow batch (most pages carry no secret, so the linear-time C++ scan
+    does ~99% of the byte work), then the exact Python fused ``finditer``
+    — which carries the reference's leftmost/declaration-order semantics —
+    only on candidate pages. Custom functions run vectorized: all matches
+    of one pattern across the batch are gathered into a single pd.Series
+    and filtered in one call (the reference runs them per match,
     parse_regex.js:131-138 — same result, batch execution).
     """
-    fused = fused_pattern()
+    candidates = _re2_candidate_mask(texts)
     rows: list[list[tuple[str, str]]] = []
     by_pattern: dict[str, list[tuple[int, int]]] = {}
-    for i, text in enumerate(texts):
+    for i, (text, maybe) in enumerate(zip(texts, candidates)):
         row: list[tuple[str, str]] = []
-        if isinstance(text, str) and text:
-            for m in fused.finditer(text):
-                name = m.lastgroup
-                row.append((name, m.group(0)))
+        if maybe and isinstance(text, str) and text:
+            for name, raw in find_matches(text):
+                row.append((name, raw))
                 if name in CUSTOM_FUNCTIONS:
                     by_pattern.setdefault(name, []).append((i, len(row) - 1))
         rows.append(row)
@@ -136,14 +163,19 @@ def match_hits(
     if DOMAINS:
         df = df.filter(domain_of(F.col(url_col)).isin(DOMAINS))
 
+    # NB: explode_outer + post-generate null filter, NOT explode. A plain
+    # explode makes Catalyst's InferFiltersFromGenerate rule synthesize a
+    # size(__ms)>0 filter below the Generate, which duplicates the UDF into
+    # a second ArrowEvalPython node — the whole corpus would cross the
+    # Arrow boundary and get scanned twice.
     exploded = (
         df.withColumn("__ms", extract_matches(F.col(text_col)))
-        .filter(F.size("__ms") > 0)
         .select(
             F.col(url_col).alias("url"),
             *[F.col(c) for c in passthrough],
-            F.explode("__ms").alias("__m"),
+            F.explode_outer("__ms").alias("__m"),
         )
+        .filter(F.col("__m").isNotNull())
         .select(
             "url",
             *passthrough,

@@ -32,11 +32,22 @@ _PLANT_POOL_AUTH = ' var p = "us-east-1_AbC123xYz"; amazon.Login.authorize('
 _PLANT_B64 = '.example/r/aHR0cHM6Ly9leGFtcGxlLmNvbS9hP2I"'  # prefixed below
 
 
-def pages_df(spark: SparkSession, sf_dir: str, repeat: int = 1) -> DataFrame:
-    """Spark side of the derivation. ``repeat`` thickens the filler text
-    (bench runs use repeat>1 to reach realistic page sizes; oracle-checked
-    queries use repeat=1 to stay identical to PAGES_CTE)."""
+def pages_df(
+    spark: SparkSession, sf_dir: str, repeat: int = 1, multiply: int = 1
+) -> DataFrame:
+    """Spark side of the derivation.
+
+    ``repeat`` thickens the filler text and ``multiply`` fans each document
+    out to N distinct URLs — bench-only knobs for realistic page sizes /
+    counts; oracle-checked queries use the defaults to stay identical to
+    PAGES_CTE."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if multiply > 1:
+        docs = docs.crossJoin(
+            spark.range(multiply).select(F.col("id").alias("__rep"))
+        ).withColumn(
+            "doc_id", F.col("doc_id") * multiply + F.col("__rep")
+        )
     d = F.col("doc_id")
     hid = F.when(d % 3 == 0, F.lit(0)).otherwise(d % 37).cast("string")
     filler = (
