@@ -1,0 +1,91 @@
+"""Training-data operator properties (cross-engine equivalence is covered
+by the oracle gate; these pin semantic invariants)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+
+
+def test_exact_dedup_partitions_corpus(spark, docs):
+    from warcannon_spark.operators.dedup import exact_dup_groups
+
+    groups = exact_dup_groups(docs)
+    total = groups.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == docs.count()
+
+
+def test_minhash_pairs_are_near_dups(spark, docs):
+    from warcannon_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs).collect()
+    assert len(pairs) > 0
+    for p in pairs:
+        assert p.doc_a < p.doc_b
+        assert p.inter_cnt * 5 >= p.union_cnt * 3  # jaccard >= 0.6
+        assert p.inter_cnt <= p.union_cnt
+
+
+def test_simhash_near_dups_have_small_hamming(spark, docs):
+    from warcannon_spark.operators.dedup import minhash_lsh_pairs, simhash
+
+    sims = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    pairs = [(p.doc_a, p.doc_b) for p in minhash_lsh_pairs(docs).collect()]
+    assert pairs
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    near = [hamming(sims[a], sims[b]) for a, b in pairs]
+    ids = sorted(sims)
+    far = [hamming(sims[ids[i]], sims[ids[i + 7]]) for i in range(0, 40, 2)]
+    assert sum(near) / len(near) < sum(far) / len(far) / 2
+
+
+def test_ann_ivf_is_subset_consistent(spark, sf_dir):
+    """IVF rank-1 neighbor must equal brute-force rank-1 whenever the true
+    nearest neighbor shares the query's bucket."""
+    from warcannon_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        sign_bucket,
+        with_norm,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    buckets = {
+        r.vec_id: r.b
+        for r in with_norm(emb)
+        .select("vec_id", sign_bucket(F.col("e")).alias("b"))
+        .collect()
+    }
+    brute = {
+        (r.qid, r.rank): r.neighbor_id
+        for r in cosine_topk(emb, query_mod=53, k=1).collect()
+    }
+    ivf = {
+        (r.qid, r.rank): r.neighbor_id
+        for r in ivf_topk(emb, query_mod=53, k=1).collect()
+    }
+    checked = 0
+    for (qid, rank), nid in brute.items():
+        if buckets[nid] == buckets[qid]:
+            assert ivf[(qid, rank)] == nid
+            checked += 1
+    assert checked > 0
+
+
+def test_fingerprint_shape(spark, docs):
+    from warcannon_spark.operators.textstats import fingerprints
+
+    fps = fingerprints(docs, k=4).collect()
+    assert len(fps) == docs.count()
+    for r in fps[:20]:
+        parts = [int(x) for x in r.fingerprint.split(",")]
+        assert parts == sorted(parts)
+        assert len(parts) <= 4

@@ -1,0 +1,161 @@
+"""Deduplication operators for training-data pipelines over the
+``documents`` table: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the part that matters at 100 TB):
+  * MinHash signatures are computed WITHOUT a seeds-cross-join: each
+    (doc, shingle) row carries an array of NUM_PERM hashes built by a
+    native ``transform`` expression, and the signature is NUM_PERM
+    ``min()`` aggregates — one map-side-combined shuffle of
+    (doc_id, 16 longs) instead of a 16× row blowup.
+  * SimHash is the same trick with 60 sign-sum aggregates per doc —
+    single shuffle, no bit-explosion.
+  * LSH banding joins band-key buckets (equi-join, AQE-skew-splittable);
+    exact Jaccard verification runs only on candidate pairs.
+  * Hashes in these operators use the PORTABLE md5-prefix h64 so the
+    DuckDB oracles agree bit-for-bit; a production deployment would flip
+    ``HASH`` to native xxhash64 (same plan shape, faster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h64
+
+NUM_PERM = 16
+BAND_SIZE = 4
+NUM_BANDS = NUM_PERM // BAND_SIZE
+SIMHASH_BITS = 60  # stay positive in a signed 64-bit BIGINT on both engines
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """E1-style exact dedup: hash-groupBy on the full text digest."""
+    return docs.groupBy(F.md5(F.col(text_col)).alias("text_md5")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(id_col).alias("keep_doc"),
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document (native expressions)."""
+    toks = F.split(F.col(text_col), " ")
+    arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(arr).alias("shingle"))
+        .distinct()
+    )
+
+
+def _perm_hashes(shingle: Column) -> Column:
+    """Array of NUM_PERM portable hashes of one shingle — all JVM-side."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(NUM_PERM - 1)),
+        lambda s: h64(F.concat(s.cast("string"), F.lit("|"), shingle)),
+    )
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingle) → one row per doc with columns s0..s{NUM_PERM-1}."""
+    with_h = sh.withColumn("h", _perm_hashes(F.col("shingle")))
+    aggs = [
+        F.min(F.element_at("h", k + 1)).alias(f"s{k}") for k in range(NUM_PERM)
+    ]
+    return with_h.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame) -> DataFrame:
+    """Signature → (doc_id, band, band_key) rows; band_key is the md5 of
+    the band's signature slice (comma-joined, seed order)."""
+    band_structs = []
+    for b in range(NUM_BANDS):
+        key = F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"s{b * BAND_SIZE + j}").cast("string")
+                    for j in range(BAND_SIZE)
+                ],
+            )
+        )
+        band_structs.append(
+            F.struct(F.lit(b).cast("long").alias("band"), key.alias("band_key"))
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, jaccard_num: int = 3, jaccard_den: int = 5) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → band-bucket join →
+    exact-Jaccard verify. Returns (doc_a, doc_b, inter_cnt, union_cnt)
+    for pairs with jaccard >= jaccard_num/jaccard_den — the comparison is
+    kept in integer arithmetic so cross-engine hashing stays exact."""
+    sh = shingles(docs, n=n).persist()
+    bands = lsh_bands(minhash_signatures(sh))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn("union_cnt", F.col("na") + F.col("nb") - F.col("inter_cnt"))
+        .filter(
+            F.col("inter_cnt") * jaccard_den >= F.col("union_cnt") * jaccard_num
+        )
+        .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
+    )
+
+
+def distinct_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
+    )
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash per document over distinct tokens: per-bit sign sums
+    as SIMHASH_BITS aggregates (one shuffle), then bit reassembly."""
+    tok = distinct_tokens(docs).withColumn("h", h64(F.col("token")))
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*aggs)
+    sim: Column = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        sim = sim + F.when(
+            F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return per_doc.select("doc_id", sim.alias("simhash"))

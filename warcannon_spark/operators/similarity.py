@@ -1,0 +1,101 @@
+"""Embedding similarity search over the ``embeddings`` table
+(vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
+
+Two paths:
+  * ``cosine_topk`` — brute-force exact top-k: query set broadcast against
+    the full corpus, dot/norms as native ``zip_with``/``aggregate``
+    expressions in double precision (matches DuckDB's
+    list_cosine_similarity evaluation order), bounded ranking window.
+  * ``ivf_topk`` — the scale path: a cheap sign-bit coarse quantizer
+    buckets vectors; queries probe only their own bucket. Same expression
+    kernel, the join becomes bucket-equi instead of broadcast-cross.
+
+At 100 TB the IVF variant is the real design: bucket ids come from a
+trained coarse quantizer, vectors are stored bucket-partitioned so the
+probe join prunes partitions; the brute-force path remains the recall
+oracle on samples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_norm(emb: DataFrame) -> DataFrame:
+    e = _as_double("embedding")
+    return emb.select(
+        "vec_id", e.alias("e"), _norm(e).alias("nrm")
+    )
+
+
+def cosine_topk(
+    emb: DataFrame, query_mod: int = 97, k: int = 5
+) -> DataFrame:
+    """Exact brute-force cosine top-k for the deterministic query subset
+    ``vec_id % query_mod == 0``. Output (qid, neighbor_id, rank)."""
+    base = with_norm(emb)
+    q = base.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    joined = base.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    cos = _dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+    return (
+        joined.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+def sign_bucket(emb_col: Column) -> Column:
+    """2-bit sign coarse quantizer over the first two dimensions."""
+    return (
+        F.when(F.element_at(emb_col, 1) > 0, 2).otherwise(0)
+        + F.when(F.element_at(emb_col, 2) > 0, 1).otherwise(0)
+    ).cast("long")
+
+
+def ivf_topk(emb: DataFrame, query_mod: int = 53, k: int = 5) -> DataFrame:
+    """LSH/IVF-bucketed approximate top-k: probe only the query's bucket.
+    Output (qid, neighbor_id, rank) — rank within the probed bucket."""
+    base = with_norm(emb).withColumn("bucket", sign_bucket(F.col("e")))
+    q = base.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket"),
+    )
+    joined = base.join(F.broadcast(q), "bucket").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    cos = _dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+    return (
+        joined.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "rank")
+    )

@@ -1,0 +1,88 @@
+"""Text-analysis operators for training-data pipelines: language ID
+(marker-token heuristic), quality scoring, token counting, document
+fingerprinting. All native Column expressions — no Python in the path —
+with integer outputs so the DuckDB oracles compare exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h64
+from .dedup import distinct_tokens
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "los"),
+    "de": ("der", "und", "das"),
+}
+
+
+def _marker_count(tokens_col, markers: tuple[str, ...]):
+    return F.size(
+        F.filter(tokens_col, lambda t: t.isin(*markers))
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-token language scores + argmax with fixed tie-break order
+    (en > es > de). Pure expression work over the token array."""
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id",
+        _marker_count(toks, LANG_MARKERS["en"]).alias("s_en"),
+        _marker_count(toks, LANG_MARKERS["es"]).alias("s_es"),
+        _marker_count(toks, LANG_MARKERS["de"]).alias("s_de"),
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de")),
+            F.lit("en"),
+        )
+        .when(F.col("s_es") >= F.col("s_de"), F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return scored.withColumn("pred_lang", pred)
+
+
+def quality_stats(docs: DataFrame) -> DataFrame:
+    """Quality-scoring signals: token count, char count, punctuation count,
+    stopword count, and an integer-threshold quality flag."""
+    toks = F.split(F.col("text"), " ")
+    stop = _marker_count(toks, ("the", "and", "of", "a", "to", "in"))
+    punct = F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", ""))
+    n_tok = F.size(toks)
+    out = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        punct.alias("punct_cnt"),
+        stop.alias("stop_cnt"),
+    )
+    is_q = (
+        (F.col("n_tokens") >= 10)
+        & (F.col("punct_cnt") * 5 <= F.col("n_chars"))
+    ).cast("int")
+    return out.withColumn("is_quality", is_q)
+
+
+def fingerprints(docs: DataFrame, k: int = 4) -> DataFrame:
+    """k-min-hash document fingerprint: the k smallest portable hashes of
+    the distinct token set, comma-joined in ascending order. Window-bounded
+    (row_number <= k), not a full collect-and-sort."""
+    tok = distinct_tokens(docs).withColumn("h", h64(F.col("token")))
+    w = Window.partitionBy("doc_id").orderBy("h")
+    return (
+        tok.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("h"))),
+                    lambda s: s["h"].cast("string"),
+                ),
+            ).alias("fingerprint")
+        )
+    )

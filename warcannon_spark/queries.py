@@ -212,7 +212,7 @@ def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("host").orderBy(F.desc("priority"), "url")
     return (
         pages_df(spark, sf_dir)
-        .withColumn("host_rank", F.row_number().over(w))
+        .withColumn("host_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("host_rank") <= 3)
         .select("host", "url", "host_rank")
     )
@@ -337,6 +337,202 @@ def q_parts_in_bulk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.join(
         li, part.p_partkey == li.l_partkey, "left_semi"
     ).select("p_partkey", "p_name")
+
+
+# =========================================================================
+# §D — training-data pipeline operators (dedup / similarity / text stats)
+# =========================================================================
+
+_TOK_CTE = """tok AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  )
+)"""
+
+
+@_q(
+    "dedup_exact",
+    """SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keep_doc
+FROM documents GROUP BY md5(text)""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle() -> str:
+    from .operators.dedup import BAND_SIZE, NUM_PERM
+
+    h = h64_sql("CAST(seed AS VARCHAR) || '|' || shingle")
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)
+),
+seeds AS (SELECT unnest(range({NUM_PERM})) AS seed),
+sig AS (SELECT doc_id, seed, min({h}) AS sig FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, seed // {BAND_SIZE} AS band,
+         md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY doc_id, seed // {BAND_SIZE}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter_cnt
+  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.inter_cnt, (za.n + zb.n - i.inter_cnt) AS union_cnt
+FROM inter i JOIN sizes za ON za.doc_id = i.doc_a JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE i.inter_cnt * 5 >= (za.n + zb.n - i.inter_cnt) * 3"""
+
+
+@_q("dedup_minhash_lsh", _minhash_oracle())
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle() -> str:
+    from .operators.dedup import SIMHASH_BITS
+
+    bit_aggs = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    reassemble = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH {_TOK_CTE},
+th AS (SELECT doc_id, {h64_sql('token')} AS h FROM tok),
+bits AS (SELECT doc_id,
+         {bit_aggs}
+         FROM th GROUP BY doc_id)
+SELECT doc_id, CAST({reassemble} AS BIGINT) AS simhash FROM bits"""
+
+
+@_q("dedup_simhash", _simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "lang_id",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+scored AS (
+  SELECT doc_id,
+    CAST(len(list_filter(w, t -> t IN ('the','and','of'))) AS BIGINT) AS s_en,
+    CAST(len(list_filter(w, t -> t IN ('el','la','los'))) AS BIGINT) AS s_es,
+    CAST(len(list_filter(w, t -> t IN ('der','und','das'))) AS BIGINT) AS s_de
+  FROM toks)
+SELECT doc_id, s_en, s_es, s_de,
+  CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+       WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang
+FROM scored""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import lang_id
+
+    df = lang_id(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("s_en").cast("long").alias("s_en"),
+        F.col("s_es").cast("long").alias("s_es"),
+        F.col("s_de").cast("long").alias("s_de"),
+        "pred_lang",
+    )
+
+
+@_q(
+    "quality_stats",
+    """SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS punct_cnt,
+  CAST(len(list_filter(string_split(text, ' '),
+       t -> t IN ('the','and','of','a','to','in'))) AS BIGINT) AS stop_cnt,
+  CAST(CASE WHEN len(string_split(text, ' ')) >= 10
+        AND length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 5 <= length(text)
+       THEN 1 ELSE 0 END AS BIGINT) AS is_quality
+FROM documents""",
+)
+def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import quality_stats
+
+    df = quality_stats(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        *[
+            F.col(c).cast("long").alias(c)
+            for c in ["n_tokens", "n_chars", "punct_cnt", "stop_cnt", "is_quality"]
+        ],
+    )
+
+
+@_q(
+    "fingerprints",
+    f"""WITH {_TOK_CTE},
+th AS (SELECT doc_id, {h64_sql('token')} AS h FROM tok)
+SELECT doc_id, array_to_string((list(h ORDER BY h))[1:4], ',') AS fingerprint
+FROM th GROUP BY doc_id""",
+)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import fingerprints
+
+    return fingerprints(_t(spark, sf_dir, "documents"), k=4)
+
+
+@_q(
+    "ann_cosine_topk",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id % 97 = 0)
+SELECT qid, neighbor_id, rank FROM (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.qid
+           ORDER BY list_cosine_similarity(e.emb, q.qe) DESC, e.vec_id) AS rank
+  FROM e, q WHERE e.vec_id <> q.qid
+) WHERE rank <= 5""",
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk
+
+    df = cosine_topk(_t(spark, sf_dir, "embeddings"), query_mod=97, k=5)
+    return df.select("qid", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+@_q(
+    "ann_ivf_topk",
+    """WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         (CASE WHEN embedding[1] > 0 THEN 2 ELSE 0 END
+        + CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) AS bucket
+  FROM embeddings),
+q AS (SELECT vec_id AS qid, emb AS qe, bucket FROM e WHERE vec_id % 53 = 0)
+SELECT qid, neighbor_id, rank FROM (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.qid
+           ORDER BY list_cosine_similarity(e.emb, q.qe) DESC, e.vec_id) AS rank
+  FROM e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.qid
+) WHERE rank <= 5""",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk
+
+    df = ivf_topk(_t(spark, sf_dir, "embeddings"), query_mod=53, k=5)
+    return df.select("qid", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
 @_q(
