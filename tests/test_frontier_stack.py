@@ -1,0 +1,179 @@
+"""Frontier-stack unit tests: canonicalization, Bloom seen-set, robots,
+politeness dequeue."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from warcannon_spark.functions.urls import canonicalize_batch
+
+
+def test_canonicalize_cases():
+    cases = {
+        "HTTP://Example.COM:80/a#frag": "http://example.com/a",
+        "https://Example.com:443/": "https://example.com/",
+        "https://example.com": "https://example.com/",
+        "https://example.com/p?b=2&a=1": "https://example.com/p?a=1&b=2",
+        "https://example.com/p?b=2&a=1#x": "https://example.com/p?a=1&b=2",
+        "https://example.com:8080/x": "https://example.com:8080/x",
+        "not-a-url": "not-a-url",
+        "https://h0.example/p/1": "https://h0.example/p/1",
+    }
+    got = canonicalize_batch(pd.Series(list(cases), dtype=object))
+    for inp, want in cases.items():
+        assert got[list(cases).index(inp)] == want, inp
+
+
+def test_canonicalize_idempotent():
+    urls = pd.Series(
+        [
+            "HTTPS://A.B:443/x?z=1&y=2#f",
+            "http://h:80/",
+            "https://q.example/p?a=1&a=0",
+        ],
+        dtype=object,
+    )
+    once = canonicalize_batch(urls)
+    twice = canonicalize_batch(once)
+    assert list(once) == list(twice)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=300))
+def test_bloom_bitmath_no_false_negatives(keys):
+    import numpy as np
+
+    from warcannon_spark.plans.bloom import _bit_positions
+
+    m, k = 1 << 14, 7
+    arr = np.array(keys, dtype=np.int64)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    pos = _bit_positions(arr, m, k).ravel()
+    np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    pos2 = _bit_positions(arr, m, k)
+    hit = ((bits[pos2 >> 3] >> (pos2 & 7).astype(np.uint8)) & 1).all(axis=1)
+    assert hit.all()
+
+
+def test_bloom_spark_roundtrip(spark):
+    from warcannon_spark.plans.bloom import build_bloom, novel_urls, probe_bloom
+
+    seen = spark.range(0, 500).select((F.col("id") * 7919).alias("url_hash"))
+    cand = spark.range(0, 1000).select((F.col("id") * 7919).alias("url_hash"))
+    bloom = build_bloom(seen, num_partitions=8).persist()
+
+    probed = probe_bloom(cand, bloom, num_partitions=8)
+    seen_keys = {r.url_hash for r in seen.collect()}
+    for r in probed.collect():
+        if r.url_hash in seen_keys:
+            assert r.maybe_seen, "false negative!"
+
+    got = {r.url_hash for r in novel_urls(cand, seen, bloom, num_partitions=8).collect()}
+    want = {
+        r.url_hash
+        for r in cand.join(seen, "url_hash", "left_anti").collect()
+    }
+    assert got == want
+
+
+def test_robots_parse_and_gate(spark):
+    from warcannon_spark.plans.robots import parse_robots_txt, robots_allowed
+
+    txt = """
+# comment
+User-agent: googlebot
+Disallow: /only-google
+
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow:
+"""
+    rules = parse_robots_txt(txt)
+    assert ("/private", False) in rules and ("/private/ok", True) in rules
+    assert ("/only-google", False) not in rules
+
+    robots = spark.createDataFrame(
+        [
+            ("a.example", "User-agent: *\nDisallow: /private\nAllow: /private/ok"),
+            ("b.example", "User-agent: *\nDisallow: /"),
+            ("broken.example", ""),
+        ],
+        "host string, robots_txt string",
+    )
+    cand = spark.createDataFrame(
+        [
+            ("a.example", "/public/x"),
+            ("a.example", "/private/x"),
+            ("a.example", "/private/ok/x"),
+            ("b.example", "/anything"),
+            ("c.example", "/no-robots-host"),
+            ("broken.example", "/x"),
+        ],
+        "host string, path string",
+    )
+    got = {
+        (r.host, r.path): r.ok
+        for r in cand.withColumn("ok", robots_allowed(cand, robots)).collect()
+    }
+    assert got[("a.example", "/public/x")] is True
+    assert got[("a.example", "/private/x")] is False
+    assert got[("a.example", "/private/ok/x")] is True  # longest prefix wins
+    assert got[("b.example", "/anything")] is False
+    assert got[("c.example", "/no-robots-host")] is True
+    assert got[("broken.example", "/x")] is True
+
+
+def test_politeness_dequeue_budget_and_order(spark):
+    from warcannon_spark.plans import frontier as FR
+
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 3}.example/p/{i}",) for i in range(300)],
+        "url string",
+    )
+    fr = FR.frontier_rows(urls, round_no=0, num_partitions=8)
+    batch = FR.politeness_dequeue(fr, round_no=1, budget_per_host=5)
+    rows = batch.collect()
+    per_host: dict[str, list] = {}
+    for r in rows:
+        per_host.setdefault(r.host, []).append(r)
+    assert set(len(v) for v in per_host.values()) == {5}
+    for host, group in per_host.items():
+        group.sort(key=lambda r: r.host_rank)
+        # host_rank order == (priority desc, url_hash) order — W3
+        keys = [(-r.priority, r.url_hash) for r in group]
+        assert keys == sorted(keys)
+        # and it's the global top-5 of the host's eligible set
+        all_host = sorted(
+            [r for r in fr.collect() if r.host == host],
+            key=lambda r: (-r.priority, r.url_hash),
+        )[:5]
+        assert [r.url_hash for r in group] == [r.url_hash for r in all_host]
+
+
+def test_politeness_salted_matches_unsalted(spark):
+    """W2: the two-phase salted dequeue must equal a plain single window."""
+    from pyspark.sql import Window
+
+    from warcannon_spark.plans import frontier as FR
+
+    urls = spark.createDataFrame(
+        [(f"https://mega.example/p/{i}",) for i in range(500)]
+        + [(f"https://tiny.example/p/{i}",) for i in range(3)],
+        "url string",
+    )
+    fr = FR.frontier_rows(urls, round_no=0)
+    salted = FR.politeness_dequeue(fr, 1, budget_per_host=7, salt_buckets=16)
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), "url_hash")
+    plain = (
+        FR.eligible_now(fr, 1)
+        .withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= 7)
+    )
+    a = {(r.url_hash, r.host_rank) for r in salted.collect()}
+    b = {(r.url_hash, r.host_rank) for r in plain.collect()}
+    assert a == b

@@ -1,0 +1,62 @@
+"""URL canonicalization (SURVEY §2.9 C14) — the frontier key function.
+
+Canonical form: lowercase scheme + host, default port stripped, fragment
+dropped, empty path → '/', query-string parameters sorted bytewise
+(stable for duplicates). The frontier key is ``xxhash64(canonical_url)``
+(native, JVM-side) over this string.
+
+Implemented as one Arrow-batched pandas UDF: the regex split and the
+scheme/host/port work are vectorized pandas str ops; only rows that
+actually carry a query string pay the per-row param sort.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+_URL_RE = re.compile(
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/?#]*)"
+    r"(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#.*)?$"
+)
+_DEFAULT_PORTS = {"http": ":80", "https": ":443"}
+
+
+def canonicalize_batch(urls: pd.Series) -> pd.Series:
+    parts = urls.str.extract(_URL_RE)
+    scheme = parts["scheme"].str.lower()
+    host = parts["host"].str.lower()
+    # strip default port for the scheme
+    for sch, suffix in _DEFAULT_PORTS.items():
+        sel = (scheme == sch) & host.str.endswith(suffix)
+        if sel.any():
+            host[sel] = host[sel].str[: -len(suffix)]
+    path = parts["path"].where(parts["path"] != "", "/")
+    query = parts["query"]
+    has_q = query.notna() & (query != "")
+    sorted_q = query.copy()
+    if has_q.any():
+        sorted_q[has_q] = [
+            "&".join(sorted(q.split("&"))) for q in query[has_q]
+        ]
+    out = scheme + "://" + host + path
+    out = out.where(~has_q, out + "?" + sorted_q)
+    # rows that didn't parse (no scheme://) pass through unchanged — the
+    # frontier treats them as opaque keys rather than dropping them.
+    return out.where(parts["scheme"].notna(), urls)
+
+
+canonicalize_url_udf = F.pandas_udf(canonicalize_batch, StringType())
+
+
+def canonical_url(col: Column | str) -> Column:
+    return canonicalize_url_udf(F.col(col) if isinstance(col, str) else col)
+
+
+def canonical_hash(col: Column | str) -> Column:
+    """The frontier key: xxhash64 of the canonical URL (north_star)."""
+    return F.xxhash64(canonical_url(col))

@@ -1,0 +1,261 @@
+"""CrawlEngine — the micro-batch crawl scheduler (SURVEY §3.2 "our
+pipeline"), tying frontier + politeness + robots + matcher + state
+together with snapshot checkpoint/resume.
+
+One round =
+  dequeue (politeness windows W1-W3, salted)                 [frontier]
+  → robots gate (J4)                                          [robots]
+  → fetch-sim: equi-join the leased batch against the pages corpus on
+    canon_url (the sandbox stand-in for the HTTP fetch; on a real crawl
+    this stage is the S3/WARC reader)                         [pages]
+  → fused matcher (X1) + rollup-ready hits                    [matches]
+  → link discovery: native regexp_extract_all over fetched html/text,
+    canonicalize, two-phase novel check (Bloom + exact anti-join J3)
+  → frontier state merge (done/miss/robots, lease/retry R1-R2)
+  → per-partition metrics row append (north_rule lineage)
+  → TableIO snapshot commits  == the ack (R3). Crash before commit ⇒
+    the round replays from the previous snapshot (resume test R7).
+
+All state tables are TableIO snapshot tables under workdir:
+  frontier/   (overwrite per round, meta carries round counter)
+  matches/    (append per round)
+  metrics/    (append per round)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.matcher import match_hits
+from ..sources.tableio import TableIO
+from . import frontier as FR
+from .bloom import build_bloom, novel_urls
+from .robots import robots_allowed
+
+LINK_RE = r'href="(https?://[^"]+)"'
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        pages: DataFrame,
+        robots: DataFrame | None = None,
+        budget_per_host: int = 10,
+        num_partitions: int = 16,
+        max_attempts: int = FR.DEFAULT_MAX_ATTEMPTS,
+        use_bloom: bool = True,
+        discover_links: bool = True,
+    ):
+        self.spark = spark
+        self.workdir = workdir
+        # pages keyed by canonical url for the fetch join
+        self.pages = pages
+        self.robots = robots
+        self.budget = budget_per_host
+        self.P = num_partitions
+        self.max_attempts = max_attempts
+        self.use_bloom = use_bloom
+        self.discover_links = discover_links
+        self.t_frontier = TableIO(os.path.join(workdir, "frontier"))
+        self.t_matches = TableIO(os.path.join(workdir, "matches"))
+        self.t_metrics = TableIO(os.path.join(workdir, "metrics"))
+
+    # -- state --------------------------------------------------------------
+    @property
+    def round_no(self) -> int:
+        return int(self.t_frontier.meta().get("round", 0))
+
+    def seed(self, seeds: DataFrame, priority_col: str | None = None) -> None:
+        """Initialize the frontier from a seed list (S4 analog). Dedups
+        seeds among themselves by url_hash (first by priority)."""
+        rows = FR.frontier_rows(
+            seeds, round_no=0, num_partitions=self.P, priority_col=priority_col
+        )
+        w = Window.partitionBy("url_hash").orderBy(F.desc("priority"), "url")
+        deduped = (
+            rows.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        self.t_frontier.write(deduped, mode="overwrite", meta={"round": 0})
+
+    def frontier(self) -> DataFrame:
+        return self.t_frontier.read(self.spark)
+
+    def matches(self) -> DataFrame:
+        return self.t_matches.read(self.spark)
+
+    def metrics(self) -> DataFrame:
+        return self.t_metrics.read(self.spark)
+
+    def drained(self) -> bool:
+        """R4 drain detection: nothing eligible now or ever again."""
+        return (
+            FR.eligible_now(self.frontier(), self.round_no)
+            .limit(1)
+            .count()
+            == 0
+        )
+
+    # -- one round ------------------------------------------------------------
+    def run_round(self) -> dict:
+        t0 = time.time()
+        rnd = self.round_no + 1
+        frontier = self.frontier().persist()
+
+        batch = FR.politeness_dequeue(
+            frontier, round_no=rnd, budget_per_host=self.budget
+        ).persist()
+
+        # robots gate (J4): blocked rows become terminal outcomes.
+        if self.robots is not None:
+            gated = batch.withColumn(
+                "__allowed", robots_allowed(batch, self.robots)
+            ).persist()
+            allowed = gated.filter(F.col("__allowed")).drop("__allowed")
+            blocked = gated.filter(~F.col("__allowed")).select(
+                "url_hash", F.lit("robots_blocked").alias("outcome")
+            )
+        else:
+            allowed, blocked = batch, None
+
+        # fetch-sim: join on canonical url. The pages side is the big
+        # side; the leased batch is bounded by hosts×budget, so Spark
+        # broadcast-joins the batch against the corpus scan (verified in
+        # tests via explain) — no corpus shuffle.
+        fetched = allowed.join(
+            self.pages.withColumnRenamed("url", "page_url"),
+            allowed.canon_url == F.col("page_url"),
+            "left",
+        ).persist()
+
+        got = fetched.filter(F.col("page_url").isNotNull())
+        missed = fetched.filter(F.col("page_url").isNull()).select(
+            "url_hash", F.lit("miss").alias("outcome")
+        )
+
+        # matcher over fetched pages (flagship operator).
+        hits = match_hits(
+            got.select(
+                F.col("canon_url").alias("url"),
+                "partition_id",
+                F.col("host_rank"),
+                "text",
+            ),
+            passthrough=["partition_id", "host_rank"],
+        )
+        n_matches = self.t_matches_append(hits, rnd)
+
+        # link discovery → novel URLs → new pending rows.
+        discovered = 0
+        new_rows = None
+        if self.discover_links:
+            links = (
+                got.select(
+                    F.explode(
+                        F.regexp_extract_all("text", F.lit(LINK_RE), F.lit(1))
+                    ).alias("url")
+                )
+                .distinct()
+            )
+            cand = FR.frontier_rows(
+                links, round_no=rnd, num_partitions=self.P
+            )
+            seen = frontier.select("url_hash")
+            bloom = (
+                build_bloom(seen, num_partitions=self.P)
+                if self.use_bloom
+                else None
+            )
+            novel = novel_urls(
+                cand, seen, bloom, num_partitions=self.P
+            ).dropDuplicates(["url_hash"])
+            new_rows = novel.persist()
+            discovered = new_rows.count()
+
+        # frontier merge: done/miss/robots outcomes + new discoveries.
+        done = got.select("url_hash", F.lit("done").alias("outcome"))
+        outcomes = done.unionByName(missed)
+        if blocked is not None:
+            outcomes = outcomes.unionByName(blocked)
+        updated = FR.apply_outcomes(
+            frontier, outcomes, round_no=rnd, max_attempts=self.max_attempts
+        )
+        if new_rows is not None and discovered > 0:
+            updated = updated.unionByName(new_rows)
+
+        # metrics: per-(round, partition) lineage (north_rule).
+        stats = (
+            batch.groupBy("partition_id")
+            .agg(F.count(F.lit(1)).alias("dequeued"))
+            .join(
+                got.groupBy("partition_id").agg(
+                    F.count(F.lit(1)).alias("pages_scanned")
+                ),
+                "partition_id",
+                "left",
+            )
+            .join(
+                hits.groupBy("partition_id").agg(
+                    F.count(F.lit(1)).alias("matches_total")
+                ),
+                "partition_id",
+                "left",
+            )
+            .select(
+                F.lit(rnd).alias("round"),
+                "partition_id",
+                "dequeued",
+                F.coalesce("pages_scanned", F.lit(0)).alias("pages_scanned"),
+                F.coalesce("matches_total", F.lit(0)).alias("matches_total"),
+                F.lit(int((time.time() - t0) * 1000)).alias("duration_ms"),
+            )
+        )
+        self.t_metrics.write(stats, mode="append", meta={"round": rnd})
+
+        # snapshot commit == ack (LAST, after all derived tables landed;
+        # a crash before this point replays the round idempotently).
+        dequeued = batch.count()
+        self.t_frontier.write(updated, mode="overwrite", meta={"round": rnd})
+
+        for df in (frontier, batch, fetched):
+            df.unpersist()
+        if new_rows is not None:
+            new_rows.unpersist()
+        return {
+            "round": rnd,
+            "dequeued": dequeued,
+            "matches": n_matches,
+            "discovered": discovered,
+            "sec": round(time.time() - t0, 2),
+        }
+
+    def t_matches_append(self, hits: DataFrame, rnd: int) -> int:
+        out = hits.select(
+            F.lit(rnd).alias("round"),
+            "url",
+            "domain",
+            "pattern",
+            "value",
+            "value_sha1",
+            "partition_id",
+        )
+        self.t_matches.write(out, mode="append", meta={"round": rnd})
+        return self.t_matches.read(self.spark).filter(F.col("round") == rnd).count()
+
+    def run(self, max_rounds: int = 100) -> list[dict]:
+        """Run rounds until drained (R4) or max_rounds. Safe to call on a
+        fresh engine pointed at an existing workdir — state resumes from
+        the latest snapshots (R7)."""
+        log = []
+        for _ in range(max_rounds):
+            if self.drained():
+                break
+            log.append(self.run_round())
+        return log

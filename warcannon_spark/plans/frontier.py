@@ -1,0 +1,174 @@
+"""The URL frontier (north_rule core): state columns, politeness dequeue
+with skew salting, lease/retry semantics.
+
+Replaces warcannon's SQS work-distribution layer (warcannon.js:85-156,
+cc_loader/main.js:46-90) with a DataFrame-native design:
+
+  frontier(url, canon_url, url_hash, host, path, priority,
+           status, attempts, discovered_round, lease_round, partition_id)
+
+  * status: pending → leased → done | failed | robots_blocked
+  * at-least-once (R1): a lease older than LEASE_TIMEOUT_ROUNDS rounds is
+    re-eligible (visibility-timeout analog of terraform.jsonnet:490);
+  * dead-letter (R2): attempts >= max_attempts ⇒ failed
+    (maxReceiveCount analog of terraform.jsonnet:492-495);
+  * partition_id = pmod(url_hash, P) — per-partition lineage key carried
+    into the metrics table (north_rule).
+
+Dequeue (SURVEY §2.6 W1-W3) is a TWO-PHASE politeness window to kill
+host skew: a giant host must not funnel its millions of pending URLs
+into one ranking task. Phase 1 ranks within (host, url_hash-salt-bucket)
+— S× parallelism for any single host, keeping ≤ budget rows per bucket —
+then phase 2 ranks the ≤ S·budget survivors exactly. AQE cannot rebalance
+aggregation/window skew (SURVEY §4 O14), hence the explicit salt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.urls import canonical_url
+from ..operators.matcher import domain_of
+
+LEASE_TIMEOUT_ROUNDS = 3
+DEFAULT_MAX_ATTEMPTS = 3
+
+STATUS_PENDING = "pending"
+STATUS_LEASED = "leased"
+STATUS_DONE = "done"
+STATUS_FAILED = "failed"
+STATUS_ROBOTS = "robots_blocked"
+
+
+def frontier_rows(
+    urls: DataFrame,
+    round_no: int,
+    num_partitions: int = 16,
+    priority_col: str | None = None,
+) -> DataFrame:
+    """urls(url [, priority]) → fully-keyed pending frontier rows.
+    Canonicalization happens HERE (one pandas UDF pass per discovery
+    batch); everything downstream keys on the precomputed hash."""
+    canon = urls.withColumn("canon_url", canonical_url("url"))
+    prio = (
+        F.col(priority_col)
+        if priority_col
+        else (F.pmod(F.xxhash64("canon_url"), F.lit(1000000)) / 1000.0)
+    )
+    return canon.select(
+        "url",
+        "canon_url",
+        F.xxhash64("canon_url").alias("url_hash"),
+        domain_of(F.col("canon_url")).alias("host"),
+        F.when(
+            F.regexp_extract("canon_url", r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1)
+            == "",
+            F.lit("/"),
+        )
+        .otherwise(
+            F.regexp_extract("canon_url", r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1)
+        )
+        .alias("path"),
+        prio.cast("double").alias("priority"),
+        F.lit(STATUS_PENDING).alias("status"),
+        F.lit(0).alias("attempts"),
+        F.lit(round_no).alias("discovered_round"),
+        F.lit(None).cast("int").alias("lease_round"),
+    ).withColumn(
+        "partition_id",
+        F.pmod(F.col("url_hash"), F.lit(num_partitions)).cast("int"),
+    )
+
+
+def eligible_now(frontier: DataFrame, round_no: int) -> DataFrame:
+    """pending rows plus expired leases (R1 redelivery)."""
+    return frontier.filter(
+        (F.col("status") == STATUS_PENDING)
+        | (
+            (F.col("status") == STATUS_LEASED)
+            & (F.col("lease_round") <= round_no - LEASE_TIMEOUT_ROUNDS)
+        )
+    )
+
+
+def politeness_dequeue(
+    frontier: DataFrame,
+    round_no: int,
+    budget_per_host: int,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Take ≤ budget_per_host URLs per host from the eligible set, under
+    the deterministic total order (priority desc, url_hash) — W1/W2/W3.
+
+    Output = the leased batch with ``host_rank`` (1..budget). The order
+    (round, host_rank, url_hash) is the pinned crawl order that replaces
+    the reference's SQS arrival order (fixture-pinned, FIXTURES.md §6).
+    """
+    elig = eligible_now(frontier, round_no)
+
+    # Phase 1: salted pre-rank — bounds any host's rows per task.
+    w1 = Window.partitionBy(
+        "host", F.pmod(F.col("url_hash"), F.lit(salt_buckets))
+    ).orderBy(F.desc("priority"), "url_hash")
+    pre = elig.withColumn("__r1", F.row_number().over(w1)).filter(
+        F.col("__r1") <= budget_per_host
+    )
+
+    # Phase 2: exact per-host rank over ≤ salt_buckets × budget rows/host.
+    w2 = Window.partitionBy("host").orderBy(F.desc("priority"), "url_hash")
+    return (
+        pre.withColumn("host_rank", F.row_number().over(w2))
+        .filter(F.col("host_rank") <= budget_per_host)
+        .drop("__r1")
+    )
+
+
+def apply_outcomes(
+    frontier: DataFrame,
+    outcomes: DataFrame,
+    round_no: int,
+    max_attempts: int = DEFAULT_MAX_ATTEMPTS,
+) -> DataFrame:
+    """Merge per-URL round outcomes back into frontier state.
+
+    outcomes(url_hash, outcome) with outcome ∈ done|miss|robots_blocked.
+    done ⇒ status=done; robots_blocked ⇒ terminal robots_blocked;
+    miss (fetch failed / URL absent from corpus) ⇒ attempts+1, then
+    pending (retry) or failed at max_attempts (R2).
+
+    Expressed as a left join + CASE — the DataFrame MERGE. At real scale
+    this is an Iceberg MERGE INTO on the url_hash key; the join shuffles
+    only (url_hash, outcome) against the frontier partitioning.
+    """
+    oc = outcomes.select("url_hash", "outcome")
+    j = frontier.join(oc, "url_hash", "left")
+    new_attempts = F.when(
+        F.col("outcome") == "miss", F.col("attempts") + 1
+    ).otherwise(F.col("attempts"))
+    new_status = (
+        F.when(F.col("outcome") == "done", F.lit(STATUS_DONE))
+        .when(F.col("outcome") == "robots_blocked", F.lit(STATUS_ROBOTS))
+        .when(
+            (F.col("outcome") == "miss") & (new_attempts >= max_attempts),
+            F.lit(STATUS_FAILED),
+        )
+        .when(F.col("outcome") == "miss", F.lit(STATUS_PENDING))
+        .otherwise(F.col("status"))
+    )
+    new_lease = F.when(
+        F.col("outcome").isNotNull(), F.lit(round_no)
+    ).otherwise(F.col("lease_round"))
+    return j.select(
+        "url",
+        "canon_url",
+        "url_hash",
+        "host",
+        "path",
+        "priority",
+        new_status.alias("status"),
+        new_attempts.cast("int").alias("attempts"),
+        "discovered_round",
+        new_lease.cast("int").alias("lease_round"),
+        "partition_id",
+    )

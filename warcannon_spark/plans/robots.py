@@ -1,0 +1,94 @@
+"""robots.txt gating (SURVEY §2.5 J4, north_rule "robots gating").
+
+Parsing follows the de-facto standard for the ``User-agent: *`` group:
+consecutive User-agent lines open a group, the group's Allow/Disallow
+prefix rules apply, empty Disallow means allow-all, comments stripped.
+Decision per (host, path): the LONGEST matching prefix rule wins; on a
+length tie Allow wins; hosts with no rules (or no robots.txt) allow all.
+
+Execution shape: the rule table is tiny relative to the corpus (one row
+per host-rule), so it is collected once and broadcast via the
+SparkContext; the gate itself is one Arrow-batched pandas UDF that groups
+each batch by host and applies the host's few rules with vectorized
+``str.startswith`` over the whole group — no per-row Python dispatch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+
+def parse_robots_txt(txt: str, agent: str = "*") -> list[tuple[str, bool]]:
+    """robots.txt text → [(prefix, is_allow), ...] for the given agent
+    group (default the wildcard group)."""
+    rules: list[tuple[str, bool]] = []
+    applies = False
+    in_ua_block = False
+    for raw in (txt or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_ua_block:
+                applies = False
+                in_ua_block = True
+            applies = applies or val == agent
+        else:
+            in_ua_block = False
+            if key in ("allow", "disallow") and applies and val:
+                rules.append((val, key == "allow"))
+    return rules
+
+
+def rules_by_host(robots: DataFrame) -> dict[str, list[tuple[str, bool]]]:
+    """robots(host, robots_txt) → {host: rules sorted for last-wins apply}
+    (ascending prefix length, Disallow before Allow on ties)."""
+    out: dict[str, list[tuple[str, bool]]] = {}
+    for row in robots.collect():
+        rules = parse_robots_txt(row.robots_txt)
+        if rules:
+            out[row.host] = sorted(rules, key=lambda r: (len(r[0]), r[1]))
+    return out
+
+
+def robots_allowed(
+    df: DataFrame,
+    robots: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> Column:
+    """Boolean Column: is (host, path) fetchable under the robots rules."""
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(rules_by_host(robots))
+
+    def gate(hosts: pd.Series, paths: pd.Series) -> pd.Series:
+        allowed = np.ones(len(hosts), dtype=bool)
+        if len(hosts) == 0:
+            return pd.Series(allowed)
+        frame = pd.DataFrame(
+            {"h": hosts, "p": paths, "i": np.arange(len(hosts))}
+        )
+        table = bc.value
+        for host, grp in frame.groupby("h", sort=False):
+            rules = table.get(host)
+            if not rules:
+                continue
+            verdict = np.ones(len(grp), dtype=bool)
+            p = grp["p"]
+            # rules pre-sorted ascending by (length, allow): the last
+            # matching assignment implements longest-wins / allow-on-tie.
+            for prefix, is_allow in rules:
+                hit = p.str.startswith(prefix).to_numpy()
+                verdict[hit] = is_allow
+            allowed[grp["i"].to_numpy()] = verdict
+        return pd.Series(allowed)
+
+    gate_udf = F.pandas_udf(gate, BooleanType())
+    return gate_udf(F.col(host_col), F.col(path_col))

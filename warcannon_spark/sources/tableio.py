@@ -1,0 +1,111 @@
+"""TableIO — the snapshot-versioned table seam (SURVEY §7.0).
+
+Persistent crawl state (frontier, matches, metrics) needs Iceberg-style
+semantics: atomic snapshot commits, append/overwrite, read-at-version,
+resume-from-latest. The sandbox has no Iceberg runtime jar (no network for
+--packages), so this seam provides the same semantics over parquet
+directories + JSON manifests; a production deployment swaps the body for
+``df.writeTo(...).append()`` / snapshot reads with no caller changes.
+
+Layout:
+    root/
+      data/v{NNNN}-{uuid}/part-*.parquet   (immutable, write-once)
+      _snapshots/{NNNN}.json               (manifest: list of data dirs)
+
+Commit protocol (crash-safe, mirrors Iceberg's): write data dir → write
+manifest to a temp name → atomic rename. A crash before the rename leaves
+an orphan data dir that no manifest references — invisible to readers, so
+an interrupted round simply re-runs (R3: snapshot commit IS the ack;
+redelivery = rerun from the previous snapshot).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableIO:
+    def __init__(self, root: str):
+        self.root = root
+        self._snap_dir = os.path.join(root, "_snapshots")
+        os.makedirs(self._snap_dir, exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # -- snapshot bookkeeping --------------------------------------------
+    def versions(self) -> list[int]:
+        out = []
+        for f in os.listdir(self._snap_dir):
+            if f.endswith(".json"):
+                try:
+                    out.append(int(f[:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self._snap_dir, f"{version:06d}.json")) as f:
+            return json.load(f)
+
+    def meta(self, version: int | None = None) -> dict:
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return {}
+        return self._manifest(v).get("meta", {})
+
+    # -- commits ------------------------------------------------------------
+    def _commit(self, dirs: list[str], meta: dict | None) -> int:
+        prev = self.latest_version()
+        version = 0 if prev is None else prev + 1
+        manifest = {
+            "version": version,
+            "dirs": dirs,
+            "ts": time.time(),
+            "meta": meta or {},
+        }
+        tmp = os.path.join(self._snap_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, os.path.join(self._snap_dir, f"{version:06d}.json"))
+        return version
+
+    def write(
+        self, df: DataFrame, mode: str = "overwrite", meta: dict | None = None
+    ) -> int:
+        """Materialize ``df`` as a new immutable data dir and commit a new
+        snapshot. mode='append' carries forward the previous dirs."""
+        prev = self.latest_version()
+        new_dir = os.path.join(
+            self.root, "data", f"v{(0 if prev is None else prev + 1):04d}-{uuid.uuid4().hex[:8]}"
+        )
+        df.write.mode("overwrite").parquet(new_dir)
+        dirs = [new_dir]
+        if mode == "append" and prev is not None:
+            dirs = self._manifest(prev)["dirs"] + dirs
+        return self._commit(dirs, meta)
+
+    def commit_meta(self, meta: dict) -> int:
+        """New snapshot with unchanged data, updated meta (cheap barrier)."""
+        prev = self.latest_version()
+        dirs = self._manifest(prev)["dirs"] if prev is not None else []
+        return self._commit(dirs, meta)
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"table {self.root} has no snapshots")
+        dirs = self._manifest(v)["dirs"]
+        if not dirs:
+            raise FileNotFoundError(f"table {self.root} v{v} is empty")
+        return spark.read.parquet(*dirs)
+
+    def exists(self) -> bool:
+        return self.latest_version() is not None
