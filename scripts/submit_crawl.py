@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Cluster entry point — the north_rule's ``spark-submit --py-files`` path.
+
+Package and submit:
+
+    cd /root/repo && zip -qr /tmp/warcannon_spark.zip warcannon_spark
+    spark-submit --py-files /tmp/warcannon_spark.zip \
+        scripts/submit_crawl.py \
+        --pages /data/pages-parquet --workdir /data/crawl-state \
+        --seeds /data/seeds-parquet --rounds 50 --budget 100 \
+        --partitions 4096
+
+On a cluster the session comes from spark-submit's conf (executors,
+memory, shuffle partitions ≈ 2-3× total cores); locally it falls back to
+session.get_spark defaults. State lands in TableIO snapshot tables under
+--workdir; re-submitting with the same workdir RESUMES from the latest
+snapshot (R7) — that is the crash-recovery story: no extra flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="parquet path: url, text[, html]")
+    ap.add_argument("--seeds", help="parquet path: url[, priority]; omit to resume")
+    ap.add_argument("--robots", help="parquet path: host, robots_txt")
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--rounds", type=int, default=100)
+    ap.add_argument("--budget", type=int, default=100, help="per-host per-round")
+    ap.add_argument("--partitions", type=int, default=64, help="frontier lineage partitions")
+    ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument("--no-links", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from warcannon_spark.plans.crawl import CrawlEngine
+
+    spark = SparkSession.builder.appName("warcannon-crawl").getOrCreate()
+
+    pages = spark.read.parquet(args.pages)
+    robots = spark.read.parquet(args.robots) if args.robots else None
+    eng = CrawlEngine(
+        spark,
+        args.workdir,
+        pages=pages,
+        robots=robots,
+        budget_per_host=args.budget,
+        num_partitions=args.partitions,
+        use_bloom=not args.no_bloom,
+        discover_links=not args.no_links,
+    )
+    if args.seeds:
+        if eng.t_frontier.exists():
+            print(f"workdir has state at round {eng.round_no}; ignoring --seeds")
+        else:
+            eng.seed(spark.read.parquet(args.seeds))
+    log = eng.run(max_rounds=args.rounds)
+    for entry in log:
+        print(entry)
+    print("frontier status:", eng.frontier().groupBy("status").count().collect())
+
+
+if __name__ == "__main__":
+    main()

@@ -144,6 +144,40 @@ def test_resume_equivalence(spark, crawled, tmp_path_factory):
     assert frontier_dump(eng2) == frontier_dump(engA)
 
 
+def test_crash_between_match_append_and_frontier_commit(
+    spark, crawled, tmp_path_factory
+):
+    """R3 exactly-once: matches appended by a round that CRASHED before
+    its frontier commit are invisible to readers and compacted away when
+    the round replays — final state equals the uninterrupted run."""
+    engA, _ = crawled
+    wd = tmp_path_factory.mktemp("crawlD")
+    eng1 = make_engine(spark, wd)
+    eng1.seed(seeds(spark))
+    eng1.run_round()
+    # simulate: round 2 appended matches, then the process died before
+    # the frontier snapshot commit.
+    orphan = spark.createDataFrame(
+        [("https://x/", "x", "ORPHAN_PATTERN", "v", "s", 0, 1)],
+        "url string, domain string, pattern string, value string, "
+        "value_sha1 string, partition_id int, host_rank int",
+    )
+    eng1.t_matches_append(orphan, rnd=2)
+    del eng1
+
+    eng2 = make_engine(spark, wd)
+    assert eng2.round_no == 1  # frontier commit never happened
+    visible = {r.pattern for r in eng2.matches().select("pattern").distinct().collect()}
+    assert "ORPHAN_PATTERN" not in visible  # read-side isolation
+    eng2.run(max_rounds=20)
+    pats = {r.pattern for r in eng2.matches().select("pattern").distinct().collect()}
+    assert "ORPHAN_PATTERN" not in pats  # compacted on replay
+    a = sorted((r.round, r.pattern, r.value, r.url) for r in engA.matches().collect())
+    b = sorted((r.round, r.pattern, r.value, r.url) for r in eng2.matches().collect())
+    assert a == b
+    assert frontier_dump(eng2) == frontier_dump(engA)
+
+
 def test_snapshot_rollback_isolation(spark, crawled):
     """Earlier snapshots stay readable (time travel for lineage audits)."""
     eng, log = crawled

@@ -34,12 +34,27 @@ from pyspark.sql.types import (
 
 from ..jscompat import JS_TRIM_CLASS
 from ..matches import (
+    ANCHORS,
     CUSTOM_FUNCTIONS,
     DOMAINS,
     MIME_TYPES,
     find_matches,
     fused_source,
 )
+
+
+def anchor_prefilter(text: Column) -> Column:
+    """JVM-side containment prefilter: every possible match CONTAINS one
+    of the literal ANCHORS (matches.py — same invariant the windowed scan
+    rests on), so `contains(a0) OR contains(a1) OR ...` has zero false
+    negatives. This is the single most important plan property at scale:
+    pages with no anchor never cross the Arrow boundary into Python —
+    the scan stays whole-stage-codegen'd and the UDF sees only candidate
+    pages (typically well under 1% of a real crawl corpus)."""
+    cond = text.contains(ANCHORS[0])
+    for a in ANCHORS[1:]:
+        cond = cond | text.contains(a)
+    return cond
 
 MATCH_ELEM = StructType(
     [
@@ -162,6 +177,10 @@ def match_hits(
         df = df.filter(F.col(mime_col).isin(MIME_TYPES))
     if DOMAINS:
         df = df.filter(domain_of(F.col(url_col)).isin(DOMAINS))
+
+    # Anchor containment gate — keeps non-candidate pages out of the
+    # Arrow/Python path entirely (see anchor_prefilter docstring).
+    df = df.filter(anchor_prefilter(F.col(text_col)))
 
     # NB: explode_outer + post-generate null filter, NOT explode. A plain
     # explode makes Catalyst's InferFiltersFromGenerate rule synthesize a

@@ -1,0 +1,128 @@
+"""Multimodal column handling: image/audio/video as opaque ``binary``
+columns with typed metadata, processed through ``mapInPandas``.
+
+The Spark-side plumbing (schemas, Arrow batch shape, partition sizing) is
+real and tested; the codec kernels are STUBBED because the sandbox ships
+no image/audio libraries. Each kernel routes through ``_decode_image``
+which raises ``NotImplementedError`` unless ``deterministic_fake=True``,
+in which case a seeded, content-derived fake is produced so the
+distributed plumbing is testable end-to-end.
+
+Scale notes: mapInPandas streams Arrow batches — one media blob never
+needs to fit more than batch-size × blob bytes in the Python worker;
+``spark.sql.execution.arrow.maxRecordsPerBatch`` is the memory knob
+(session.py). Media tables should be bucketed by content hash so
+downstream joins against metadata/embedding tables co-locate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = "media_id long, kind string, blob binary, mime string"
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, byte_len long, sha256 string, "
+    "width int, height int, feat array<float>"
+)
+
+
+def _decode_image(blob: bytes, deterministic_fake: bool) -> tuple[int, int, np.ndarray]:
+    """Decode an image blob → (width, height, HxWx3 array).
+
+    STUB: real decoding needs an image codec library not present in this
+    environment. The deterministic fake derives shape and pixels from the
+    blob digest so tests exercise the full distributed path with stable
+    outputs."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image decoding requires an image codec library (not available "
+            "in this environment); pass deterministic_fake=True for the "
+            "plumbing-test path"
+        )
+    digest = hashlib.sha256(blob).digest()
+    w = 8 + digest[0] % 24
+    h = 8 + digest[1] % 24
+    rng = np.random.default_rng(int.from_bytes(digest[2:10], "big"))
+    return w, h, rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def extract_media_features(
+    media: DataFrame, deterministic_fake: bool = False, feat_dim: int = 8
+) -> DataFrame:
+    """media(media_id, kind, blob, mime) → per-blob features via
+    mapInPandas (byte stats always; decode-derived stats through the
+    stubbed codec)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                blob = bytes(r.blob) if r.blob is not None else b""
+                sha = hashlib.sha256(blob).hexdigest()
+                width = height = None
+                feat = None
+                if r.kind == "image":
+                    w, h, px = _decode_image(blob, deterministic_fake)
+                    width, height = w, h
+                    # channel-mean/std "embedding" — the real kernel slots
+                    # a model forward pass here with the same signature.
+                    mean = px.reshape(-1, 3).mean(axis=0)
+                    std = px.reshape(-1, 3).std(axis=0)
+                    feat = np.concatenate(
+                        [mean, std, [w, h]]
+                    ).astype(np.float32)[:feat_dim]
+                rows.append(
+                    (
+                        r.media_id,
+                        r.kind,
+                        len(blob),
+                        sha,
+                        width,
+                        height,
+                        None if feat is None else [float(x) for x in feat],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "byte_len",
+                    "sha256",
+                    "width",
+                    "height",
+                    "feat",
+                ],
+            )
+
+    return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    media: DataFrame, every_n: int = 10
+) -> DataFrame:
+    """Video frame-sampling PLAN: emits (media_id, frame_no) rows for
+    every_n-th frame using blob-length-derived frame counts (the real
+    implementation replaces the count heuristic with container parsing —
+    same plan shape: mapInPandas fan-out, one output row per sampled
+    frame)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_frame = [], []
+            for r in pdf.itertuples(index=False):
+                n_frames = max(1, len(bytes(r.blob) or b"") // 1024)
+                for f in range(0, n_frames, every_n):
+                    out_id.append(r.media_id)
+                    out_frame.append(f)
+            yield pd.DataFrame({"media_id": out_id, "frame_no": out_frame})
+
+    return media.filter(media.kind == "video").mapInPandas(
+        kernel, "media_id long, frame_no int"
+    )

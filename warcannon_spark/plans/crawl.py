@@ -89,10 +89,19 @@ class CrawlEngine:
         return self.t_frontier.read(self.spark)
 
     def matches(self) -> DataFrame:
-        return self.t_matches.read(self.spark)
+        """Committed matches only. The frontier snapshot's round counter is
+        the commit truth (it is written LAST in run_round); match/metric
+        rows tagged with a later round are orphans from a crashed round
+        and are filtered out — the replayed round rewrites them. This is
+        what makes the append sinks effectively exactly-once (R3)."""
+        return self.t_matches.read(self.spark).filter(
+            F.col("round") <= self.round_no
+        )
 
     def metrics(self) -> DataFrame:
-        return self.t_metrics.read(self.spark)
+        return self.t_metrics.read(self.spark).filter(
+            F.col("round") <= self.round_no
+        )
 
     def drained(self) -> bool:
         """R4 drain detection: nothing eligible now or ever again."""
@@ -217,6 +226,7 @@ class CrawlEngine:
                 F.lit(int((time.time() - t0) * 1000)).alias("duration_ms"),
             )
         )
+        self._drop_orphans(self.t_metrics, rnd)
         self.t_metrics.write(stats, mode="append", meta={"round": rnd})
 
         # snapshot commit == ack (LAST, after all derived tables landed;
@@ -236,7 +246,19 @@ class CrawlEngine:
             "sec": round(time.time() - t0, 2),
         }
 
+    def _drop_orphans(self, table: TableIO, rnd: int) -> None:
+        """Crash recovery: if a previous attempt at round ``rnd`` appended
+        rows before the frontier commit, compact them away so the replay
+        appends exactly once (orphan-delete + append, the Iceberg MERGE
+        recovery pattern; only runs on the crash path)."""
+        if not table.exists():
+            return
+        if int(table.meta().get("round", -1)) >= rnd:
+            kept = table.read(self.spark).filter(F.col("round") < rnd)
+            table.write(kept, mode="overwrite", meta={"round": rnd - 1})
+
     def t_matches_append(self, hits: DataFrame, rnd: int) -> int:
+        self._drop_orphans(self.t_matches, rnd)
         out = hits.select(
             F.lit(rnd).alias("round"),
             "url",

@@ -339,6 +339,109 @@ def q_parts_in_bulk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_name")
 
 
+@_q(
+    "frontier_bloom_novel",
+    f"""WITH {PAGES_CTE}
+SELECT url FROM pages WHERE fetch_seq % 2 = 0
+  AND url NOT IN (SELECT url FROM pages WHERE fetch_seq % 3 = 0)""",
+)
+def q_frontier_bloom_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 via the SCALE path: partitioned-Bloom fast-path + exact
+    anti-join confirmation. The oracle is the plain exact anti-join —
+    the two-phase check must be indistinguishable from it."""
+    from .plans.bloom import build_bloom, novel_urls
+
+    pages = pages_df(spark, sf_dir)
+    key = F.xxhash64("url")
+    candidates = (
+        pages.filter(F.col("fetch_seq") % 2 == 0)
+        .select("url", key.alias("url_hash"))
+    )
+    seen = (
+        pages.filter(F.col("fetch_seq") % 3 == 0)
+        .select("url", key.alias("url_hash"))
+    )
+    bloom = build_bloom(seen, num_partitions=8)
+    return novel_urls(candidates, seen, bloom, num_partitions=8).select("url")
+
+
+@_q(
+    "event_sessions",
+    """WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events)
+SELECT user_id,
+       CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM ordered GROUP BY user_id""",
+)
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands, 30-min idle gap) — the batch
+    twin of the streaming session-window operator."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; session TZ is pinned UTC, so the cast
+    # is the identity mapping and matches DuckDB's epoch_us on naive ts.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((us - prev) > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("__new", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("__new").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@_q("crawl_frontier_state")  # rows-only: multi-round stateful loop, not SQL
+def q_crawl_frontier_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CrawlEngine driven for 3 rounds over a linked corpus
+    derived from documents — returns the frontier dump (FIXTURES.md §6).
+    Deterministic across runs (pinned by tests); registered rows-only
+    because the multi-round snapshot loop is not single-statement SQL."""
+    import tempfile
+
+    from .plans.crawl import CrawlEngine
+
+    pages = pages_df(spark, sf_dir)
+    linked = pages.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit(' <a href="https://h'),
+            F.when(((F.col("fetch_seq") + 1) % 3) == 0, F.lit(0))
+            .otherwise((F.col("fetch_seq") + 1) % 37)
+            .cast("string"),
+            F.lit(".example/p/"),
+            ((F.col("fetch_seq") + 1) % 500).cast("string"),
+            F.lit('">n</a>'),
+        ),
+    ).select("url", "text")
+    seeds = pages.orderBy("fetch_seq").limit(40).select("url")
+    eng = CrawlEngine(
+        spark,
+        tempfile.mkdtemp(prefix="crawlq-"),
+        pages=linked,
+        robots=None,
+        budget_per_host=5,
+        num_partitions=8,
+    )
+    eng.seed(seeds)
+    for _ in range(3):
+        if eng.drained():
+            break
+        eng.run_round()
+    return eng.frontier().select(
+        "canon_url", "url_hash", "host", "status", "attempts", "partition_id"
+    )
+
+
 # =========================================================================
 # §D — training-data pipeline operators (dedup / similarity / text stats)
 # =========================================================================

@@ -1,0 +1,105 @@
+"""Structured Streaming surface (SURVEY §2.10).
+
+The reference's "streaming" is processing-time micro-batching: SQS
+delivery, 10 s heartbeats, TTL'd progress rows (R1-R7). The batch
+CrawlEngine already carries those semantics; this module adds the
+continuous-ingest path for a LIVE corpus: new page files land in a
+directory (the Common-Crawl-drop analog), Structured Streaming picks
+them up, runs the fused matcher, and maintains rolling state.
+
+Design choices:
+  * matcher stage is the same extract_matches UDF — identical semantics
+    in batch and streaming (tested against each other);
+  * per-micro-batch rollup goes through ``foreachBatch`` so the SAME
+    match_rollup operator (windows + bounded top-3) is reused and writes
+    land as TableIO snapshot appends — exactly-once per the sink's
+    idempotent (round=batch_id) key, mirroring R3;
+  * the metrics stream is a watermarked event-time tumbling window
+    (the streaming upgrade of the reference's processing-time 10 s
+    heartbeat throttle, warcannon.js:192).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.matcher import match_hits
+from ..sources.tableio import TableIO
+
+PAGES_STREAM_SCHEMA = (
+    "url string, warc_ts timestamp, text string, lang string"
+)
+
+
+def read_pages_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """File-drop source for Common-Crawl-style page batches (json lines).
+    On a real deployment this is the Iceberg/Kafka ingest stream."""
+    return (
+        spark.readStream.schema(PAGES_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+
+def matches_stream(pages: DataFrame) -> DataFrame:
+    """Streaming fused-matcher: identical operator to the batch path."""
+    return match_hits(pages, passthrough=["warc_ts"])
+
+
+def heartbeat_stream(pages: DataFrame, window: str = "10 seconds") -> DataFrame:
+    """Watermarked event-time page-rate metrics (heartbeat analog R5):
+    pages and bytes per warc_ts window, tolerating 30 s late data."""
+    return (
+        pages.withWatermark("warc_ts", "30 seconds")
+        .groupBy(F.window("warc_ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("pages"),
+            F.sum(F.octet_length("text")).alias("bytes"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "pages",
+            "bytes",
+        )
+    )
+
+
+def run_match_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    workdir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Stream pages → matcher → per-batch rollup snapshot appends.
+
+    ``available_now=True`` drains everything currently in the source and
+    stops (the test/backfill mode); False runs continuously.
+    """
+    from ..operators.rollup import match_rollup
+
+    table = TableIO(workdir)
+    pages = read_pages_stream(spark, source_dir)
+    hits = matches_stream(pages)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rolled = match_rollup(
+            batch_df.withColumn("fetch_seq", F.unix_timestamp("warc_ts")),
+            order_col="fetch_seq",
+        ).withColumn("batch_id", F.lit(batch_id))
+        table.write(rolled, mode="append", meta={"batch_id": batch_id})
+
+    writer = (
+        hits.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
