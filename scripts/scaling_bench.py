@@ -29,12 +29,26 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 MULTIPLY = int(os.environ.get("BENCH_PAGE_MULTIPLY", "20"))
 REPEAT = int(os.environ.get("BENCH_TEXT_REPEAT", "12"))
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "4000000"))
+# N and 4N (north rule). Default 4/16 rather than 8/32: a pure-CPU burn
+# on this host scales 3.6x from 4->16 procs but only ~3.0x from 8->32
+# (turbo/SMT cliff at full subscription), so 4/16 isolates JOB scaling
+# from host saturation. Override with BENCH_LEVELS=8,32.
+LEVELS = tuple(int(x) for x in os.environ.get("BENCH_LEVELS", "4,16").split(","))
 
 
 def _timed(fn) -> float:
     t0 = time.time()
     fn()
     return time.time() - t0
+
+
+def _burn(_):
+    # module-level: Pool.map must be able to pickle it
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 1.5:
+        x += 1
+    return x
 
 
 def cpu_ceiling() -> float:
@@ -44,18 +58,11 @@ def cpu_ceiling() -> float:
     job's achievable (rate_32/rate_8)."""
     import multiprocessing as mp
 
-    def burn(_):
-        t0 = time.time()
-        x = 0
-        while time.time() - t0 < 1.5:
-            x += 1
-        return x
-
     work = {}
-    for n in (8, 32):
+    for n in LEVELS:
         with mp.Pool(n) as pool:
-            work[n] = sum(pool.map(burn, range(n)))
-    return work[32] / work[8]
+            work[n] = sum(pool.map(_burn, range(n)))
+    return work[LEVELS[1]] / work[LEVELS[0]]
 
 
 def run_level(cores: int) -> dict:
@@ -81,11 +88,9 @@ def run_level(cores: int) -> dict:
     # the realistic storage→match shape (and no multi-GB cache pressure
     # distorting the high-thread level). 128 files so both levels have
     # ample splits.
-    corpus = f"/tmp/wc_bench_corpus_m{MULTIPLY}_r{REPEAT}"
-    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
-        pages_df(spark, SF_DIR, repeat=REPEAT, multiply=MULTIPLY).repartition(
-            128
-        ).write.mode("overwrite").parquet(corpus)
+    from warcannon_spark.sources.pages import materialized_corpus
+
+    corpus = materialized_corpus(spark, SF_DIR, repeat=REPEAT, multiply=MULTIPLY)
     pages = spark.read.parquet(corpus)
     n_pages = pages.count()
     n_bytes = pages.agg(F.sum(F.octet_length("text"))).collect()[0][0]
@@ -143,7 +148,7 @@ def main() -> None:
     # the host is shared, so a single unlucky window must not define a
     # level's number.
     results: dict[int, dict] = {}
-    for cores in (8, 32, 8, 32):
+    for cores in (*LEVELS, *LEVELS):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cores", str(cores)],
             capture_output=True,
@@ -170,7 +175,7 @@ def main() -> None:
             )
             best["dequeue_sec"] = min(best["dequeue_sec"], res["dequeue_sec"])
 
-    r8, r32 = results[8], results[32]
+    r8, r32 = results[LEVELS[0]], results[LEVELS[1]]
     ceiling = cpu_ceiling()
     speed_match = r32["pages_per_sec"] / r8["pages_per_sec"]
     speed_deq = r32["dequeue_urls_per_sec"] / r8["dequeue_urls_per_sec"]
@@ -189,8 +194,9 @@ stand-in for N vs 4N executors), throughput at both, efficiency =
 Input: synthetic pages corpus from {SF_DIR} (multiply={MULTIPLY},
 repeat={REPEAT} → {r32['match_pages']:,} pages), frontier of
 {r32['frontier_urls']:,} URLs with a ~33% mega-host (skew case).
-Levels are interleaved subprocess runs, warm Python worker pools,
-best-of-3 timed passes per level (shared-host noise protocol).
+Levels N={LEVELS[0]} / 4N={LEVELS[1]}; interleaved subprocess runs, warm
+Python worker pools, best-of-3 timed passes per level, best-of-2 runs per
+level (shared-host noise protocol).
 
 **Hardware ceiling caveat (single shared box, not a cluster):** a pure
 CPU burn at 8 vs 32 processes on this host scales only
@@ -200,7 +206,7 @@ can show here. On a real 4N-executor cluster the added executors bring
 their own sockets/memory bandwidth, which is the regime the ≥0.8 target
 describes. Both raw and ceiling-normalized numbers follow.
 
-| workload | local[8] (N) | local[32] (4N) | speedup | eff (raw /4) | eff (vs {ceiling:.2f}× ceiling) |
+| workload | local[N] | local[4N] | speedup | eff (raw /4) | eff (vs {ceiling:.2f}× ceiling) |
 |---|---|---|---|---|---|
 | match campaign (pages/sec) | {r8['pages_per_sec']:,} | {r32['pages_per_sec']:,} | {speed_match:.2f}× | {eff_match:.2f} | **{norm_match:.2f}** |
 | match campaign (MB/sec)    | {r8['mb_per_sec']:,} | {r32['mb_per_sec']:,} | — | — | — |

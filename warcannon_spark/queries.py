@@ -66,11 +66,17 @@ def _sq(s: str) -> str:
 _ORACLE_PATTERNS = [
     "access_key_id",
     "user_pool_id",
+    "identity_pool_id",
+    "hosted_ui",
+    "cognito_domain",
+    "assumerolewithwebidentity",
     "arn",
+    "google_appid",
+    "amazon_appid",
     "amazon_authorize",
     "s3_buckets",
     "safebase64_url",
-]
+]  # every live pattern; base64_url is dead code under fusion (see §2.3)
 
 _HITS_CTE = (
     PAGES_CTE
