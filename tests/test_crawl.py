@@ -144,6 +144,20 @@ def test_resume_equivalence(spark, crawled, tmp_path_factory):
     assert frontier_dump(eng2) == frontier_dump(engA)
 
 
+def test_compaction_preserves_state(spark, crawled, tmp_path_factory):
+    """Log compaction (fold deltas into base, reset log) must not change
+    observable frontier state vs an uncompacted run."""
+    engA, _ = crawled
+    eng = make_engine(
+        spark, tmp_path_factory.mktemp("crawlE"), compact_every=2
+    )
+    eng.seed(seeds(spark))
+    eng.run(max_rounds=20)
+    assert eng.t_frontier.latest_version() >= 1  # base was rewritten
+    assert eng.t_flog.num_dirs() < 2  # log was reset at least once
+    assert frontier_dump(eng) == frontier_dump(engA)
+
+
 def test_crash_between_match_append_and_frontier_commit(
     spark, crawled, tmp_path_factory
 ):
@@ -179,10 +193,27 @@ def test_crash_between_match_append_and_frontier_commit(
 
 
 def test_snapshot_rollback_isolation(spark, crawled):
-    """Earlier snapshots stay readable (time travel for lineage audits)."""
+    """Earlier snapshots stay readable (time travel for lineage audits):
+    the frontier LOG keeps one snapshot per committed round."""
     eng, log = crawled
-    v_latest = eng.t_frontier.latest_version()
-    assert v_latest >= 2
-    early = eng.t_frontier.read(spark, version=1)
-    late = eng.t_frontier.read(spark)
+    v_latest = eng.t_flog.latest_version()
+    assert v_latest >= 1
+    early = eng.t_flog.read(spark, version=0)
+    # latest version may be a post-compaction truncate (no data dirs);
+    # time-travel to the last version that still references data.
+    late = None
+    for v in reversed(eng.t_flog.versions()):
+        try:
+            late = eng.t_flog.read(spark, version=v)
+            break
+        except FileNotFoundError:
+            continue
+    assert late is not None
     assert early.count() <= late.count()
+    # per-round delta sizes are bounded by touched rows, not frontier size
+    per_round = {
+        r.updated_round: r.n
+        for r in late.groupBy("updated_round").agg(F.count("*").alias("n")).collect()
+    }
+    total_frontier = eng.frontier().count()
+    assert all(n <= total_frontier for n in per_round.values())

@@ -17,9 +17,20 @@ One round =
     the round replays from the previous snapshot (resume test R7).
 
 All state tables are TableIO snapshot tables under workdir:
-  frontier/   (overwrite per round, meta carries round counter)
-  matches/    (append per round)
-  metrics/    (append per round)
+  frontier/      base rows (rewritten only at compaction)
+  frontier_log/  per-round DELTA rows — the round commit (meta.round)
+  matches/       (append per round)
+  metrics/       (append per round)
+
+Frontier state is LOG-STRUCTURED: a round appends only the rows it
+touched (the leased batch's outcomes + new discoveries) to frontier_log;
+readers resolve current state as latest-updated_round-wins per url_hash
+over base ∪ log. Every COMPACT_EVERY rounds the merged view is rewritten
+into the base and the log reset. Why it matters at 10^10 URLs: per-round
+commit I/O is O(|touched|), not O(|frontier|) — a full-frontier rewrite
+per round would move the entire multi-TB table every few minutes. (On
+Iceberg, base and log are bucket-partitioned by url_hash so the merge
+window needs no shuffle; TableIO approximates with plain parquet.)
 """
 
 from __future__ import annotations
@@ -51,25 +62,34 @@ class CrawlEngine:
         max_attempts: int = FR.DEFAULT_MAX_ATTEMPTS,
         use_bloom: bool = True,
         discover_links: bool = True,
+        compact_every: int = 8,
     ):
         self.spark = spark
         self.workdir = workdir
-        # pages keyed by canonical url for the fetch join
-        self.pages = pages
+        # pages keyed by canonical url for the fetch join; narrowed to the
+        # two columns the round needs so corpus extras can never collide
+        # with frontier column names downstream.
+        self.pages = pages.select("url", "text")
         self.robots = robots
         self.budget = budget_per_host
         self.P = num_partitions
         self.max_attempts = max_attempts
         self.use_bloom = use_bloom
         self.discover_links = discover_links
+        self.compact_every = compact_every
         self.t_frontier = TableIO(os.path.join(workdir, "frontier"))
+        self.t_flog = TableIO(os.path.join(workdir, "frontier_log"))
         self.t_matches = TableIO(os.path.join(workdir, "matches"))
         self.t_metrics = TableIO(os.path.join(workdir, "metrics"))
 
     # -- state --------------------------------------------------------------
     @property
     def round_no(self) -> int:
-        return int(self.t_frontier.meta().get("round", 0))
+        """Committed round = max over base (compaction) and log (delta)
+        commits; the LOG append is the per-round ack."""
+        base = int(self.t_frontier.meta().get("round", 0))
+        log = int(self.t_flog.meta().get("round", 0)) if self.t_flog.exists() else 0
+        return max(base, log)
 
     def seed(self, seeds: DataFrame, priority_col: str | None = None) -> None:
         """Initialize the frontier from a seed list (S4 analog). Dedups
@@ -86,7 +106,39 @@ class CrawlEngine:
         self.t_frontier.write(deduped, mode="overwrite", meta={"round": 0})
 
     def frontier(self) -> DataFrame:
-        return self.t_frontier.read(self.spark)
+        """Current frontier state: base ∪ committed log deltas, latest
+        updated_round wins per url_hash. Log rows beyond the committed
+        round cannot exist (the log append IS the commit)."""
+        base = self.t_frontier.read(self.spark)
+        if not self.t_flog.exists() or not self.t_flog.meta():
+            return base
+        try:
+            log = self.t_flog.read(self.spark)
+        except FileNotFoundError:  # freshly-reset empty log
+            return base
+        merged = base.unionByName(log)
+        w = Window.partitionBy("url_hash").orderBy(F.desc("updated_round"))
+        return (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def _commit_delta(self, delta: DataFrame, rnd: int) -> None:
+        """Append the round's touched rows; this snapshot IS the ack."""
+        self.t_flog.write(delta, mode="append", meta={"round": rnd})
+        if self.t_flog.num_dirs() >= self.compact_every:
+            self._compact(rnd)
+
+    def _compact(self, rnd: int) -> None:
+        """Fold the log into the base and reset the log. Idempotent under
+        crashes: base and log both carry round=rnd metadata, and the
+        latest-wins merge tolerates rows existing in both."""
+        merged = self.frontier().persist()
+        merged.count()
+        self.t_frontier.write(merged, mode="overwrite", meta={"round": rnd})
+        self.t_flog.truncate(meta={"round": rnd})
+        merged.unpersist()
 
     def matches(self) -> DataFrame:
         """Committed matches only. The frontier snapshot's round counter is
@@ -128,9 +180,7 @@ class CrawlEngine:
                 "__allowed", robots_allowed(batch, self.robots)
             ).persist()
             allowed = gated.filter(F.col("__allowed")).drop("__allowed")
-            blocked = gated.filter(~F.col("__allowed")).select(
-                "url_hash", F.lit("robots_blocked").alias("outcome")
-            )
+            blocked = gated.filter(~F.col("__allowed")).drop("__allowed")
         else:
             allowed, blocked = batch, None
 
@@ -145,9 +195,7 @@ class CrawlEngine:
         ).persist()
 
         got = fetched.filter(F.col("page_url").isNotNull())
-        missed = fetched.filter(F.col("page_url").isNull()).select(
-            "url_hash", F.lit("miss").alias("outcome")
-        )
+        missed = fetched.filter(F.col("page_url").isNull())
 
         # matcher over fetched pages (flagship operator).
         hits = match_hits(
@@ -188,16 +236,23 @@ class CrawlEngine:
             new_rows = novel.persist()
             discovered = new_rows.count()
 
-        # frontier merge: done/miss/robots outcomes + new discoveries.
-        done = got.select("url_hash", F.lit("done").alias("outcome"))
-        outcomes = done.unionByName(missed)
+        # round delta: replacement rows for touched URLs + discoveries —
+        # NO frontier-wide join/rewrite (see module docstring).
+        batch_cols = [c for c in batch.columns if c != "host_rank"]
+        outcomes = got.select(*batch_cols, F.lit("done").alias("outcome")).unionByName(
+            missed.select(*batch_cols, F.lit("miss").alias("outcome"))
+        )
         if blocked is not None:
-            outcomes = outcomes.unionByName(blocked)
-        updated = FR.apply_outcomes(
-            frontier, outcomes, round_no=rnd, max_attempts=self.max_attempts
+            outcomes = outcomes.unionByName(
+                blocked.select(
+                    *batch_cols, F.lit("robots_blocked").alias("outcome")
+                )
+            )
+        delta = FR.outcome_rows(
+            outcomes, round_no=rnd, max_attempts=self.max_attempts
         )
         if new_rows is not None and discovered > 0:
-            updated = updated.unionByName(new_rows)
+            delta = delta.unionByName(new_rows)
 
         # metrics: per-(round, partition) lineage (north_rule).
         stats = (
@@ -229,10 +284,10 @@ class CrawlEngine:
         self._drop_orphans(self.t_metrics, rnd)
         self.t_metrics.write(stats, mode="append", meta={"round": rnd})
 
-        # snapshot commit == ack (LAST, after all derived tables landed;
+        # log-append commit == ack (LAST, after all derived tables landed;
         # a crash before this point replays the round idempotently).
         dequeued = batch.count()
-        self.t_frontier.write(updated, mode="overwrite", meta={"round": rnd})
+        self._commit_delta(delta, rnd)
 
         for df in (frontier, batch, fetched):
             df.unpersist()

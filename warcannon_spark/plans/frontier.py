@@ -61,6 +61,7 @@ def frontier_rows(
         "canon_url",
         F.xxhash64("canon_url").alias("url_hash"),
         domain_of(F.col("canon_url")).alias("host"),
+        F.lit(round_no).alias("updated_round"),
         F.when(
             F.regexp_extract("canon_url", r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1)
             == "",
@@ -124,25 +125,23 @@ def politeness_dequeue(
     )
 
 
-def apply_outcomes(
-    frontier: DataFrame,
-    outcomes: DataFrame,
+def outcome_rows(
+    batch_with_outcome: DataFrame,
     round_no: int,
     max_attempts: int = DEFAULT_MAX_ATTEMPTS,
 ) -> DataFrame:
-    """Merge per-URL round outcomes back into frontier state.
+    """Leased batch + ``outcome`` column → the REPLACEMENT frontier rows
+    for exactly those URLs (the delta of a round).
 
-    outcomes(url_hash, outcome) with outcome ∈ done|miss|robots_blocked.
-    done ⇒ status=done; robots_blocked ⇒ terminal robots_blocked;
-    miss (fetch failed / URL absent from corpus) ⇒ attempts+1, then
-    pending (retry) or failed at max_attempts (R2).
+    outcome ∈ done|miss|robots_blocked: done ⇒ status=done;
+    robots_blocked ⇒ terminal; miss (fetch failed / URL absent) ⇒
+    attempts+1, then pending (retry) or failed at max_attempts (R2).
 
-    Expressed as a left join + CASE — the DataFrame MERGE. At real scale
-    this is an Iceberg MERGE INTO on the url_hash key; the join shuffles
-    only (url_hash, outcome) against the frontier partitioning.
+    Scale property: this touches ONLY the dequeued batch — there is no
+    frontier-wide join or rewrite anywhere in the commit path. The delta
+    rows are appended to the frontier LOG; readers resolve
+    latest-updated_round-wins per url_hash (see crawl.CrawlEngine).
     """
-    oc = outcomes.select("url_hash", "outcome")
-    j = frontier.join(oc, "url_hash", "left")
     new_attempts = F.when(
         F.col("outcome") == "miss", F.col("attempts") + 1
     ).otherwise(F.col("attempts"))
@@ -153,22 +152,19 @@ def apply_outcomes(
             (F.col("outcome") == "miss") & (new_attempts >= max_attempts),
             F.lit(STATUS_FAILED),
         )
-        .when(F.col("outcome") == "miss", F.lit(STATUS_PENDING))
-        .otherwise(F.col("status"))
+        .otherwise(F.lit(STATUS_PENDING))
     )
-    new_lease = F.when(
-        F.col("outcome").isNotNull(), F.lit(round_no)
-    ).otherwise(F.col("lease_round"))
-    return j.select(
+    return batch_with_outcome.select(
         "url",
         "canon_url",
         "url_hash",
         "host",
+        F.lit(round_no).alias("updated_round"),
         "path",
         "priority",
         new_status.alias("status"),
         new_attempts.cast("int").alias("attempts"),
         "discovered_round",
-        new_lease.cast("int").alias("lease_round"),
+        F.lit(round_no).cast("int").alias("lease_round"),
         "partition_id",
     )

@@ -92,6 +92,16 @@ class TableIO:
             dirs = self._manifest(prev)["dirs"] + dirs
         return self._commit(dirs, meta)
 
+    def num_dirs(self) -> int:
+        """Data dirs referenced by the latest snapshot (append depth)."""
+        v = self.latest_version()
+        return 0 if v is None else len(self._manifest(v)["dirs"])
+
+    def truncate(self, meta: dict | None = None) -> int:
+        """Commit a snapshot referencing no data (read() then raises
+        FileNotFoundError until the next write)."""
+        return self._commit([], meta)
+
     def commit_meta(self, meta: dict) -> int:
         """New snapshot with unchanged data, updated meta (cheap barrier)."""
         prev = self.latest_version()
