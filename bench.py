@@ -69,6 +69,33 @@ def main() -> None:
     extras["mb_per_sec"] = round(n_bytes / dt / 1e6, 1)
     extras["rollup_rows"] = n_rollup
 
+    # -- frontier dequeue rate (the second BASELINE.json headline) --------
+    from warcannon_spark.plans import frontier as FR
+
+    urls = spark.range(1_000_000).select(
+        F.concat(
+            F.lit("https://h"),
+            F.when(F.col("id") % 3 == 0, F.lit(0))
+            .otherwise(F.pmod(F.col("id"), F.lit(997)))
+            .cast("string"),
+            F.lit(".example/p/"),
+            F.col("id").cast("string"),
+        ).alias("url")
+    )
+    fr = FR.frontier_rows(urls, round_no=0, num_partitions=64).persist()
+    n_urls = fr.count()
+
+    def dequeue() -> int:
+        return FR.politeness_dequeue(fr, round_no=1, budget_per_host=100).count()
+
+    dequeue()  # warm
+    t0 = time.time()
+    dequeue()
+    dt = time.time() - t0
+    timings["frontier_dequeue"] = round(dt, 3)
+    extras["dequeue_urls_per_sec"] = round(n_urls / dt, 1)
+    fr.unpersist()
+
     # -- per-query headline set (same entries the driver oracle-checks) ---
     for name in [
         "match_rollup",

@@ -111,6 +111,35 @@ def test_crawl_matches_and_metrics(spark, crawled):
     assert {"round", "partition_id", "dequeued", "pages_scanned", "matches_total", "duration_ms"} <= cols
 
 
+def test_results_document_shape(spark, crawled):
+    """K1/K2: the nested results JSON reconstruction carries the exact
+    reference shape {total_hits, regex_hits: {pattern: {sha1: {value,
+    domain: [uri<=3]}}}} (parse_regex.js:41-44,140-153)."""
+    from warcannon_spark.operators.matcher import match_hits
+    from warcannon_spark.operators.rollup import (
+        match_rollup,
+        results_document,
+        total_hits,
+    )
+
+    eng, _ = crawled
+    pages = corpus(spark).withColumn("fetch_seq", F.monotonically_increasing_id())
+    hits = match_hits(pages, passthrough=["fetch_seq"])
+    roll = match_rollup(hits, order_col="fetch_seq")
+    total = total_hits(hits).collect()[0][0]
+    doc = results_document([r.asDict() for r in roll.collect()], total)
+    assert doc["total_hits"] == total > 0
+    for pattern, by_hash in doc["regex_hits"].items():
+        assert pattern in {"access_key_id", "arn"}
+        for sha1, entry in by_hash.items():
+            assert len(sha1) == 40
+            assert isinstance(entry["value"], str)
+            domains = [k for k in entry if k != "value"]
+            assert domains
+            for d in domains:
+                assert 1 <= len(entry[d]) <= 3
+
+
 def test_crawl_is_deterministic(spark, crawled, tmp_path_factory):
     engA, _ = crawled
     engB = make_engine(spark, tmp_path_factory.mktemp("crawlB"))

@@ -142,6 +142,52 @@ def distinct_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def simhash_near_pairs(
+    docs: DataFrame, band_bits: int = 15, max_hamming: int = 6
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 60-bit signature into 60/band_bits
+    chunks (a pair within hamming ≤ (bands-1) must collide on ≥1 band),
+    bucket-join candidates, verify exact hamming with native bit_count.
+    Output (doc_a, doc_b, hamming)."""
+    sig = simhash(docs)
+    n_bands = SIMHASH_BITS // band_bits
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.shiftright(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
+            .alias("band_val"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash(docs: DataFrame) -> DataFrame:
     """60-bit SimHash per document over distinct tokens: per-bit sign sums
     as SIMHASH_BITS aggregates (one shuffle), then bit reassembly."""

@@ -511,7 +511,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
-def _simhash_oracle() -> str:
+def _simhash_cte() -> str:
+    """CTE chain ending in ``sim(doc_id, simhash)`` — shared by the
+    signature query and the banded near-pair query."""
     from .operators.dedup import SIMHASH_BITS
 
     bit_aggs = ",\n         ".join(
@@ -522,20 +524,52 @@ def _simhash_oracle() -> str:
         f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         for b in range(SIMHASH_BITS)
     )
-    return f"""
-WITH {_TOK_CTE},
+    return f"""{_TOK_CTE},
 th AS (SELECT doc_id, {h64_sql('token')} AS h FROM tok),
 bits AS (SELECT doc_id,
          {bit_aggs}
-         FROM th GROUP BY doc_id)
-SELECT doc_id, CAST({reassemble} AS BIGINT) AS simhash FROM bits"""
+         FROM th GROUP BY doc_id),
+sim AS (SELECT doc_id, CAST({reassemble} AS BIGINT) AS simhash FROM bits)"""
 
 
-@_q("dedup_simhash", _simhash_oracle())
+@_q("dedup_simhash", f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM sim")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash
 
     return simhash(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_pairs_oracle() -> str:
+    bands = 4
+    band_bits = 15
+    mask = (1 << band_bits) - 1
+    band_sel = "\nUNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, (simhash >> {b * band_bits}) & {mask} AS band_val FROM sim"
+        for b in range(bands)
+    )
+    return f"""WITH {_simhash_cte()},
+bands AS (
+{band_sel}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cand c JOIN sim sa ON sa.doc_id = c.doc_a JOIN sim sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 1"""
+
+
+@_q("dedup_simhash_pairs", _simhash_pairs_oracle())
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_near_pairs
+
+    # max_hamming=1: on this shared-vocab synthetic corpus the
+    # hamming histogram has a tight identical-set cluster at 0-1 and a
+    # broad tail from 2 up — 1 is the discriminative cut.
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=1)
 
 
 @_q(
