@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Scaling-efficiency evidence (BASELINE.json north_rule): run the SAME
-job + input at local[8] (N) and local[32] (4N), report throughput at both
-plus efficiency = (rate_4N / rate_N) / 4, into BENCH/BASELINE.md.
+job + input at local[N] and local[4N] (default 4/16, BENCH_LEVELS to
+override), report throughput at both plus efficiency = (rate_4N /
+rate_N) / 4 — raw and normalized by this host's measured CPU-scaling
+ceiling — into BENCH/BASELINE.md.
 
 Each parallelism level runs in its own subprocess (fresh JVM) so executor
 thread count, shuffle partitions, and Python worker pools are configured
@@ -72,7 +74,6 @@ def run_level(cores: int) -> dict:
     from warcannon_spark.operators.rollup import match_rollup
     from warcannon_spark.plans import frontier as FR
     from warcannon_spark.session import get_spark
-    from warcannon_spark.sources.pages import pages_df
 
     spark = get_spark(
         app_name=f"scaling-bench-{cores}",
@@ -199,7 +200,7 @@ Python worker pools, best-of-3 timed passes per level, best-of-2 runs per
 level (shared-host noise protocol).
 
 **Hardware ceiling caveat (single shared box, not a cluster):** a pure
-CPU burn at 8 vs 32 processes on this host scales only
+CPU burn at {LEVELS[0]} vs {LEVELS[1]} processes on this host scales only
 **{ceiling:.2f}× / 4.00×** (turbo clocks + SMT sharing at high thread
 count) — so {ceiling/4:.2f} is the maximum efficiency ANY CPU-bound job
 can show here. On a real 4N-executor cluster the added executors bring
@@ -212,13 +213,13 @@ describes. Both raw and ceiling-normalized numbers follow.
 | match campaign (MB/sec)    | {r8['mb_per_sec']:,} | {r32['mb_per_sec']:,} | — | — | — |
 | frontier dequeue (urls/sec) | {r8['dequeue_urls_per_sec']:,} | {r32['dequeue_urls_per_sec']:,} | {speed_deq:.2f}× | {eff_deq:.2f} | **{norm_deq:.2f}** |
 
-Raw: local[8] = {json.dumps(r8)}
-Raw: local[32] = {json.dumps(r32)}
-CPU ceiling (8→32 procs, pure python burn): {ceiling:.2f}× of 4.00×
+Raw: local[{LEVELS[0]}] = {json.dumps(r8)}
+Raw: local[{LEVELS[1]}] = {json.dumps(r32)}
+CPU ceiling ({LEVELS[0]}→{LEVELS[1]} procs, pure python burn): {ceiling:.2f}× of 4.00×
 
 Reference baseline for context (BASELINE.md): the reference's measured
 campaign telemetry ≈ 24.7k pages/s/node on a 72-vCPU c5n.18xlarge
-(≈ 343 pages/s/vCPU). This engine at local[32]:
+(≈ 343 pages/s/vCPU). This engine at local[{LEVELS[1]}]:
 {r32['pages_per_sec']:,.0f} pages/s ≈ {r32['pages_per_sec']/32:,.0f} pages/s/core
 ({r32['pages_per_sec']/24700:.1f}× the reference node on {32/72:.2f}× the vCPUs).
 """
