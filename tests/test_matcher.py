@@ -17,13 +17,18 @@ from tests.corpus import CORPUS
 from warcannon_spark.jscompat import normalize_value_py
 from warcannon_spark.operators.matcher import extract_match_lists
 
+import os
+
 NODE = shutil.which("node")
+REFERENCE_OK = os.path.exists(
+    "/root/reference/lambda_functions/warcannon/matches.js"
+)
 
 
 @pytest.fixture(scope="module")
 def js_goldens() -> list[list[dict]]:
-    if NODE is None:
-        pytest.skip("node not available for oracle run")
+    if NODE is None or not REFERENCE_OK:
+        pytest.skip("node or reference tree unavailable for oracle run")
     with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
         json.dump(CORPUS, f)
         path = f.name
