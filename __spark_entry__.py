@@ -27,6 +27,33 @@ if _REPO not in _pp.split(os.pathsep):
     os.environ["PYTHONPATH"] = _REPO + (os.pathsep + _pp if _pp else "")
 
 
+_PKG_ZIP: str | None = None
+_SHIPPED: set[str] = set()
+
+
+def _ensure_workers(spark: SparkSession) -> None:
+    """Make ``warcannon_spark`` importable on executor Python workers even
+    when the caller created the SparkSession before importing this module
+    (so the PYTHONPATH export came too late for the JVM). Ships the
+    package via addPyFile — the runtime equivalent of
+    ``spark-submit --py-files`` — once per SparkContext."""
+    global _PKG_ZIP
+    ctx = spark.sparkContext
+    app_id = ctx.applicationId
+    if app_id in _SHIPPED:
+        return
+    if _PKG_ZIP is None:
+        import shutil
+        import tempfile
+
+        base = os.path.join(tempfile.gettempdir(), "warcannon_spark_pkg")
+        _PKG_ZIP = shutil.make_archive(
+            base, "zip", root_dir=_REPO, base_dir="warcannon_spark"
+        )
+    ctx.addPyFile(_PKG_ZIP)
+    _SHIPPED.add(app_id)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: fused multi-pattern regex scan over the synthetic
     Common-Crawl-style pages corpus at sf0.001, folded into the per-domain
@@ -34,13 +61,23 @@ def entry(spark: SparkSession) -> DataFrame:
     parse_regex.js:120-153 + warcannon.js:292-318)."""
     from warcannon_spark.queries import q_match_rollup
 
+    _ensure_workers(spark)
     return q_match_rollup(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from warcannon_spark.queries import QUERIES
 
-    return dict(QUERIES)
+    def shipped(fn):
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_workers(spark)
+            return fn(spark, sf_dir)
+
+        wrapper.__name__ = getattr(fn, "__name__", "query")
+        wrapper.__doc__ = fn.__doc__
+        return wrapper
+
+    return {name: shipped(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
