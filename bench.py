@@ -4,9 +4,13 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
 The flagship number is end-to-end matcher throughput (pages/sec) over a
 thickened synthetic corpus (multiply×repeat fan the 5000 sf0.1 documents
-into ~100k pages of a few KB — Common-Crawl-ish text density), which is
-the metric BASELINE.json names. Scaling-efficiency evidence (local[8] vs
-local[32]) is produced separately by scripts/scaling_bench.py into
+into ~800k pages of a few KB — Common-Crawl-ish text density), which is
+the metric BASELINE.json names. Round-2 protocol change: this now uses
+the SAME steady-state protocol as scripts/scaling_bench.py (materialized
+corpus scan, warm worker pool, best-of-3 timed passes, variance
+reported) — the round-1 artifacts disagreed 7× because the driver bench
+ran one cold 100k-page pass. Scaling-efficiency evidence (local[4] vs
+local[16]) is still produced separately by scripts/scaling_bench.py into
 BENCH/BASELINE.md.
 """
 
@@ -23,8 +27,20 @@ from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-MULTIPLY = int(os.environ.get("BENCH_PAGE_MULTIPLY", "20"))
+MULTIPLY = int(os.environ.get("BENCH_PAGE_MULTIPLY", "160"))
 REPEAT = int(os.environ.get("BENCH_TEXT_REPEAT", "12"))
+PASSES = int(os.environ.get("BENCH_PASSES", "3"))
+
+
+def _best_of(fn, n: int = PASSES) -> tuple[float, float]:
+    """(best_sec, spread): min wall-clock over n passes + (max-min)/min —
+    the shared-host noise indicator."""
+    times = []
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    return min(times), (max(times) - min(times)) / min(times)
 
 
 def main() -> None:
@@ -59,15 +75,14 @@ def main() -> None:
             order_col="fetch_seq",
         ).count()
 
-    campaign()  # warm the Python worker pool / codegen (steady-state metric)
-    t0 = time.time()
-    n_rollup = campaign()
-    dt = time.time() - t0
+    n_rollup = campaign()  # warm Python worker pool / codegen (untimed)
+    dt, spread = _best_of(campaign)
     timings["match_campaign"] = round(dt, 3)
     extras["pages"] = n_pages
     extras["pages_per_sec"] = round(n_pages / dt, 1)
     extras["mb_per_sec"] = round(n_bytes / dt / 1e6, 1)
     extras["rollup_rows"] = n_rollup
+    extras["match_spread"] = round(spread, 3)
 
     # -- frontier dequeue rate (the second BASELINE.json headline) --------
     from warcannon_spark.plans import frontier as FR
@@ -89,11 +104,10 @@ def main() -> None:
         return FR.politeness_dequeue(fr, round_no=1, budget_per_host=100).count()
 
     dequeue()  # warm
-    t0 = time.time()
-    dequeue()
-    dt = time.time() - t0
+    dt, spread = _best_of(dequeue)
     timings["frontier_dequeue"] = round(dt, 3)
     extras["dequeue_urls_per_sec"] = round(n_urls / dt, 1)
+    extras["dequeue_spread"] = round(spread, 3)
     fr.unpersist()
 
     # -- per-query headline set (same entries the driver oracle-checks) ---
@@ -109,13 +123,8 @@ def main() -> None:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        best = None
-        for _ in range(2):  # best-of-2: the host is shared and noisy
-            t0 = time.time()
-            fn(spark, SF_DIR).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        dt, _ = _best_of(lambda: fn(spark, SF_DIR).count(), n=2)
+        timings[name] = round(dt, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -12,8 +12,9 @@ exactly as a cluster submit would set them.
 Workloads:
   * match_campaign — the flagship fused-regex scan + rollup over the
     thickened synthetic corpus (pages/sec, the BASELINE.json metric);
-  * frontier_dequeue — politeness dequeue (two-phase salted window) over
-    a 500k-URL frontier (urls/sec).
+  * frontier_dequeue — politeness dequeue (single window, partial
+    WindowGroupLimit bounds skew map-side) over the synthetic frontier
+    (urls/sec).
 """
 
 from __future__ import annotations

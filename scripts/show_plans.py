@@ -72,21 +72,33 @@ def main() -> None:
         )
     )
 
+    from warcannon_spark.plans.crawl import fetch_join
+
     batch = FR.politeness_dequeue(
         FR.frontier_rows(pages.select("url"), 0), round_no=1, budget_per_host=5
     )
-    fetch = batch.join(
-        pages.withColumnRenamed("url", "page_url"),
-        batch.canon_url == F.col("page_url"),
-        "left",
-    )
+    dq_plan = plan_of(batch)
     sections.append(
         (
-            "fetch join (leased batch × corpus)",
-            plan_of(fetch),
+            "politeness dequeue (W1-W3)",
+            dq_plan,
             [
-                "bounded batch side broadcast — the corpus is scanned, "
-                "never shuffled",
+                "single exchange; WindowGroupLimit Partial runs map-side "
+                "BEFORE the shuffle (bounds any host's rows per task)",
+            ],
+        )
+    )
+    got, _missed = fetch_join(pages, batch)
+    fetch_plan = plan_of(got)
+    sections.append(
+        (
+            "fetch join (pages ⋈ broadcast(leased batch))",
+            fetch_plan,
+            [
+                "BroadcastExchange sits on the BOUNDED BATCH side (inner "
+                "join, BuildRight); the corpus scan streams — no corpus "
+                "broadcast, no corpus shuffle (round-1 defect fixed; "
+                "plan-asserted in tests/test_plans.py)",
             ],
         )
     )
@@ -110,6 +122,10 @@ def main() -> None:
         1 for line in mh.splitlines() if line.strip().startswith("(") and "ArrowEvalPython" in line
     )
     assert n_arrow == 1, f"expected 1 ArrowEvalPython node, saw {n_arrow}"
+    # (formatted mode lists each node twice: tree + details section)
+    assert "BroadcastHashJoin" in fetch_plan and "BroadcastExchange" in fetch_plan
+    assert "SortMergeJoin" not in fetch_plan
+    assert dq_plan.count("WindowGroupLimit") >= 2  # Partial + Final
     print("plans written to BENCH/PLANS.md; matcher has", n_arrow, "ArrowEvalPython node")
     spark.stop()
 

@@ -89,3 +89,76 @@ def test_fingerprint_shape(spark, docs):
         parts = [int(x) for x in r.fingerprint.split(",")]
         assert parts == sorted(parts)
         assert len(parts) <= 4
+
+
+def test_banded_pairs_complete_at_hamming_4_to_6(spark):
+    """Round-1 defect regression: the fixed 4x15-bit banding only
+    guaranteed candidate recall for hamming <= 3 while defaulting to
+    max_hamming=6. Plant pairs at hamming 4..6 whose flipped bits are
+    spread one-per-old-band (0,15,30,45,...) so the old layout produced
+    NO band collision -- the derived (max_hamming+1)-band layout must
+    find every one of them (verified against brute force)."""
+    from itertools import combinations
+
+    from warcannon_spark.operators.dedup import banded_hamming_pairs
+
+    base = 0x0ABCDEF0123456  # arbitrary 60-bit signature
+    # doc 0 = base; docs 1..3 flip 4..6 bits spread across the old bands
+    flips = {
+        1: [0, 15, 30, 45],            # hamming 4 vs doc 0
+        2: [1, 16, 31, 46, 59],        # hamming 5
+        3: [2, 17, 32, 47, 58, 13],    # hamming 6
+        4: list(range(20)),            # hamming 20 -- must NOT pair with 0
+    }
+    sigs = {0: base}
+    for d, bits in flips.items():
+        v = base
+        for b in bits:
+            v ^= 1 << b
+        sigs[d] = v
+    sig = spark.createDataFrame(
+        [(d, v) for d, v in sigs.items()], "doc_id long, simhash long"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in banded_hamming_pairs(sig, max_hamming=6).collect()
+    }
+    expect = {}
+    ids = sorted(sigs)
+    for a, b in combinations(ids, 2):
+        h = bin(sigs[a] ^ sigs[b]).count("1")
+        if h <= 6:
+            expect[(a, b)] = h
+    assert got == expect
+    assert (0, 1) in got and got[(0, 1)] == 4
+    assert (0, 2) in got and got[(0, 2)] == 5
+    assert (0, 3) in got and got[(0, 3)] == 6
+
+
+def test_minhash_param_scaling_keeps_exact_dupes(spark):
+    """num_perm/band_size are production knobs (recall = 1-(1-t^r)^b);
+    identical shingle sets (jaccard 1.0) collide on every band at ANY
+    parameterization, so planted exact-dup pairs must be found by both
+    the oracle-pinned default and a wider production setting."""
+    from warcannon_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " extra tail words here"),  # near dup
+        (4, "completely different text with no shared trigrams at all"),
+        (5, "another unrelated document body for the corpus noise floor"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for kwargs in ({}, {"num_perm": 32, "band_size": 4}):
+        pairs = {
+            (r.doc_a, r.doc_b): (r.inter_cnt, r.union_cnt)
+            for r in minhash_lsh_pairs(docs, **kwargs).collect()
+        }
+        assert (1, 2) in pairs
+        i, u = pairs[(1, 2)]
+        assert i == u  # jaccard 1.0
+        for i, u in pairs.values():  # verify stage: only true near-dups
+            assert i * 5 >= u * 3
+        assert (1, 4) not in pairs and (4, 5) not in pairs

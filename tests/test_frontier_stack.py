@@ -64,15 +64,16 @@ def test_bloom_spark_roundtrip(spark):
 
     seen = spark.range(0, 500).select((F.col("id") * 7919).alias("url_hash"))
     cand = spark.range(0, 1000).select((F.col("id") * 7919).alias("url_hash"))
-    bloom = build_bloom(seen, num_partitions=8).persist()
+    bloom = build_bloom(seen, num_partitions=8)
+    bloom.filters.persist()
 
-    probed = probe_bloom(cand, bloom, num_partitions=8)
+    probed = probe_bloom(cand, bloom)
     seen_keys = {r.url_hash for r in seen.collect()}
     for r in probed.collect():
         if r.url_hash in seen_keys:
             assert r.maybe_seen, "false negative!"
 
-    got = {r.url_hash for r in novel_urls(cand, seen, bloom, num_partitions=8).collect()}
+    got = {r.url_hash for r in novel_urls(cand, seen, bloom).collect()}
     want = {
         r.url_hash
         for r in cand.join(seen, "url_hash", "left_anti").collect()
@@ -167,7 +168,7 @@ def test_politeness_salted_matches_unsalted(spark):
         "url string",
     )
     fr = FR.frontier_rows(urls, round_no=0)
-    salted = FR.politeness_dequeue(fr, 1, budget_per_host=7, salt_buckets=16)
+    salted = FR.politeness_dequeue_salted(fr, 1, budget_per_host=7, salt_buckets=16)
     w = Window.partitionBy("host").orderBy(F.desc("priority"), "url_hash")
     plain = (
         FR.eligible_now(fr, 1)
@@ -177,3 +178,98 @@ def test_politeness_salted_matches_unsalted(spark):
     a = {(r.url_hash, r.host_rank) for r in salted.collect()}
     b = {(r.url_hash, r.host_rank) for r in plain.collect()}
     assert a == b
+
+
+def test_robots_gate_distributed_agrees_and_never_collects(spark, monkeypatch):
+    """The scale-path gate (robots_gate over robots_rules) must (a) agree
+    with the fixture pandas gate on every decision class, (b) never pull
+    the rules table through the driver (collect/toPandas/toLocalIterator
+    are poisoned for the whole plan+execution), (c) hold up with 100k
+    hosts' worth of rules."""
+    from pyspark.sql import DataFrame
+
+    from warcannon_spark.plans.robots import robots_gate, robots_rules
+
+    robots = spark.createDataFrame(
+        [
+            ("a.example", "User-agent: *\nDisallow: /private\nAllow: /private/ok"),
+            ("b.example", "User-agent: *\nDisallow: /"),
+            ("broken.example", ""),
+        ],
+        "host string, robots_txt string",
+    )
+    # thicken to ~100k rule hosts (none of which match the candidates)
+    filler = spark.range(100_000).select(
+        F.concat(F.lit("f"), F.col("id").cast("string"), F.lit(".example")).alias("host"),
+        F.lit("User-agent: *\nDisallow: /blocked\nAllow: /blocked/ok").alias("robots_txt"),
+    )
+    all_robots = robots.unionByName(filler)
+
+    cand = spark.createDataFrame(
+        [
+            (1, "a.example", "/public/x"),
+            (2, "a.example", "/private/x"),
+            (3, "a.example", "/private/ok/x"),
+            (4, "b.example", "/anything"),
+            (5, "c.example", "/no-robots-host"),
+            (6, "broken.example", "/x"),
+            (7, "f42.example", "/blocked/nope"),
+            (8, "f42.example", "/blocked/ok/yes"),
+            (9, "f99999.example", "/fine"),
+        ],
+        "url_hash long, host string, path string",
+    )
+
+    def poisoned(self, *a, **k):  # noqa: ANN001
+        raise AssertionError("driver-side collect in the robots gate path")
+
+    with monkeypatch.context() as m:
+        m.setattr(DataFrame, "collect", poisoned)
+        m.setattr(DataFrame, "toPandas", poisoned)
+        m.setattr(DataFrame, "toLocalIterator", poisoned)
+        rules = robots_rules(all_robots)
+        gated = robots_gate(cand, rules)
+        # evaluate via count() — the only safe action under the poison
+        n_allowed = gated.filter(F.col("__allowed")).count()
+        n_total = gated.count()
+    assert n_total == 9
+    assert n_allowed == 6
+
+    got = {r.url_hash: r["__allowed"] for r in robots_gate(cand, robots_rules(all_robots)).collect()}
+    assert got == {1: True, 2: False, 3: True, 4: False, 5: True,
+                   6: True, 7: False, 8: True, 9: True}
+
+
+def test_bloom_autosize_and_fpr_at_10m_keys(spark):
+    """VERDICT r1 fix: filters must be auto-sized (partitions scale with
+    key count, ~10 bits/key) and built streaming. Property: ZERO false
+    negatives over all 10M built keys; measured FPR <= 2% on 1M fresh."""
+    from warcannon_spark.plans.bloom import bloom_sizing, build_bloom, probe_bloom
+
+    # sizing math scales with the key count
+    p0, m0 = bloom_sizing(1000)
+    assert p0 == 1 and m0 >= (1 << 17)
+    p1, m1 = bloom_sizing(10_000_000)
+    assert p1 == 3 and m1 >= 10 * (10_000_000 // 3)
+    p2, m2 = bloom_sizing(10_000_000_000)  # the 10^10 north-rule target
+    assert p2 == 2500
+    assert 10 * (10_000_000_000 // 2500) <= m2 <= (1 << 33)
+
+    N = 10_000_000
+    seen = spark.range(N).select(
+        F.xxhash64(F.concat(F.lit("s"), F.col("id").cast("string"))).alias("url_hash")
+    )
+    bloom = build_bloom(seen, expected_keys=N)
+    bloom.filters.persist()
+    assert bloom.filters.count() == bloom.num_partitions == 3
+
+    fn = probe_bloom(seen, bloom).filter(~F.col("maybe_seen")).count()
+    assert fn == 0, f"{fn} false negatives"
+
+    M = 1_000_000
+    fresh = spark.range(M).select(
+        F.xxhash64(F.concat(F.lit("f"), F.col("id").cast("string"))).alias("url_hash")
+    )
+    fp = probe_bloom(fresh, bloom).filter(F.col("maybe_seen")).count()
+    bloom.filters.unpersist()
+    assert fp / M <= 0.02, f"FPR {fp / M:.4f}"

@@ -1,0 +1,144 @@
+"""Physical-plan shape assertions — the scale properties the perf story
+rests on, pinned so they can't silently regress:
+
+  * fetch_join builds/broadcasts the BATCH side, never the corpus
+    (VERDICT r1 "what's wrong #1": a LeftOuter batch×corpus join made
+    Spark broadcast the corpus);
+  * the corpus scan in the fetch join is exchange-free (no shuffle of
+    corpus data anywhere in the round's fetch path);
+  * match_rollup stage 1 compiles to HashAggregate, not SortAggregate
+    (order-insensitive value carry).
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+
+def plan_str(df, mode: str = "simple") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _node_depth(line: str) -> int:
+    i = 0
+    while i < len(line) and line[i] in " :+-*(0123456789)":
+        i += 1
+    return i
+
+
+def subtree_of(plan: str, marker: str) -> str:
+    """Lines of the plan tree under (and including) the first node whose
+    line contains ``marker``, by tree-drawing indentation."""
+    lines = plan.splitlines()
+    for idx, line in enumerate(lines):
+        if marker in line:
+            depth = _node_depth(line)
+            out = [line]
+            for nxt in lines[idx + 1 :]:
+                if not nxt.strip():
+                    break
+                if _node_depth(nxt) <= depth:
+                    break
+                out.append(nxt)
+            return "\n".join(out)
+    raise AssertionError(f"marker {marker!r} not found in plan:\n{plan}")
+
+
+def test_fetch_join_broadcasts_batch_not_corpus(spark, tmp_path):
+    from warcannon_spark.plans.crawl import fetch_join
+
+    corpus_path = str(tmp_path / "corpus_pages")
+    batch_path = str(tmp_path / "leased_batch")
+    spark.range(1000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".example/p/"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("body "), F.col("id").cast("string")).alias("text"),
+    ).write.mode("overwrite").parquet(corpus_path)
+    spark.range(20).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".example/p/"), F.col("id").cast("string")).alias("canon_url"),
+        F.col("id").alias("url_hash"),
+    ).write.mode("overwrite").parquet(batch_path)
+
+    pages = spark.read.parquet(corpus_path)
+    batch = spark.read.parquet(batch_path)
+    got, missed = fetch_join(pages, batch)
+
+    plan = plan_str(got)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # The corpus scan must stream (no shuffle of corpus data at all).
+    assert "Exchange hashpartitioning" not in plan
+    # The single BroadcastExchange must sit on the BATCH side only.
+    assert plan.count("BroadcastExchange") == 1
+    # (file paths are truncated in simple mode — key on ReadSchema: the
+    # batch scan reads canon_url/url_hash, the corpus scan url/text.)
+    bx = subtree_of(plan, "BroadcastExchange")
+    assert "canon_url" in bx, f"batch scan not under the exchange:\n{plan}"
+    assert "text:string" not in bx, f"corpus under BroadcastExchange:\n{plan}"
+    # ... while the corpus is still scanned (outside the exchange).
+    assert "text:string" in plan
+
+    # Semantics: got ∪ missed partitions the batch.
+    got_n = got.count()
+    missed_n = missed.count()
+    assert got_n == 20 and missed_n == 0
+    # With a batch URL absent from the corpus, it lands in missed.
+    batch2 = batch.unionByName(
+        spark.createDataFrame([("https://nowhere.example/x", 999999)],
+                              "canon_url string, url_hash long")
+    )
+    got2, missed2 = fetch_join(pages, batch2)
+    assert got2.count() == 20
+    assert missed2.count() == 1
+    assert missed2.collect()[0]["canon_url"] == "https://nowhere.example/x"
+
+
+def test_match_rollup_stage1_is_hash_aggregate(spark, tmp_path):
+    from warcannon_spark.operators.rollup import match_rollup
+
+    hits_path = str(tmp_path / "hits")
+    spark.range(500).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 5).cast("string"),
+                 F.lit(".example/p/"), (F.col("id") % 40).cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 5).cast("string"), F.lit(".example")).alias("domain"),
+        F.lit("access_key_id").alias("pattern"),
+        F.concat(F.lit("AKIA"), (F.col("id") % 9).cast("string")).alias("value"),
+        F.sha1(F.concat(F.lit("AKIA"), (F.col("id") % 9).cast("string"))).alias("value_sha1"),
+        F.col("id").alias("fetch_seq"),
+    ).write.mode("overwrite").parquet(hits_path)
+    hits = spark.read.parquet(hits_path)
+
+    roll = match_rollup(hits, order_col="fetch_seq")
+    plan = plan_str(roll)
+    # stage 2's bounded collect_list legitimately needs ObjectHashAggregate
+    # (still hash-based); what must never appear is a sort-based aggregate.
+    assert "SortAggregate" not in plan, plan
+    assert "HashAggregate" in plan
+    # correctness unchanged: value carried per group
+    row = roll.filter(F.col("value") == "AKIA0").collect()
+    assert len(row) > 0
+
+
+def test_dequeue_is_single_exchange_with_partial_window_group_limit(spark):
+    """Round-2 dequeue: one politeness window, ONE exchange; skew is
+    bounded map-side by the Partial WindowGroupLimit (each task forwards
+    <= budget rows per host before the shuffle)."""
+    from warcannon_spark.plans import frontier as FR
+
+    urls = spark.range(20_000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 97).cast("string"),
+                 F.lit(".example/p/"), F.col("id").cast("string")).alias("url")
+    )
+    fr = FR.frontier_rows(urls, round_no=0)
+    batch = FR.politeness_dequeue(fr, round_no=1, budget_per_host=5)
+    plan = plan_str(batch)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("WindowGroupLimit") == 2, plan
+    assert "Partial" in plan and "Final" in plan

@@ -1,0 +1,102 @@
+"""WARC ingest (S1/S3): record splitting, HTTP payload extraction,
+multi-member gunzip, non-response skipping, and the C15 byte-identity
+decode invariant (planted invalid UTF-8 → U+FFFD, exactly like the
+reference's Buffer.toString(), parse_regex.js:120)."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+BAD = b'hello \xff\xfe <a href="https://x.example/">bad bytes</a> \xc3\x28 tail'
+OK = "plain résumé page with <b>html</b>".encode()
+
+
+def test_record_iterator_and_payload():
+    from warcannon_spark.sources.warc import (
+        http_payload,
+        iter_warc_records,
+        warc_record_bytes,
+    )
+
+    rec = warc_record_bytes("https://a.example/x", "2024-01-01T00:00:00Z", BAD)
+    info = b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
+    out = list(iter_warc_records(info + rec + rec))
+    assert len(out) == 3
+    assert out[0][0]["warc-type"] == "warcinfo"
+    fields, body = out[1]
+    assert fields["warc-type"] == "response"
+    assert fields["warc-target-uri"] == "https://a.example/x"
+    assert http_payload(body) == BAD  # exact bytes through the HTTP header
+
+
+def test_warc_ingest_decodes_byte_identically(spark, tmp_path):
+    from warcannon_spark.sources.warc import (
+        read_warc_pages,
+        warc_record_bytes,
+        write_warc_gz,
+    )
+
+    # file 1: two records as separate gzip members (Common Crawl layout)
+    write_warc_gz(
+        [
+            ("https://a.example/x", "2024-01-01T00:00:00Z", BAD),
+            ("https://b.example/y", "2024-01-02T03:04:05Z", OK),
+        ],
+        str(tmp_path / "p0.warc.gz"),
+    )
+    # file 2: a warcinfo record (must be skipped) + one response
+    info = b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
+    rec = warc_record_bytes("https://c.example/z", "2024-01-03T00:00:00Z", OK)
+    with open(tmp_path / "p1.warc.gz", "wb") as f:
+        f.write(gzip.compress(info) + gzip.compress(rec))
+
+    rows = {
+        r.url: r
+        for r in read_warc_pages(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {
+        "https://a.example/x",
+        "https://b.example/y",
+        "https://c.example/z",
+    }
+    a = rows["https://a.example/x"]
+    assert bytes(a.html) == BAD
+    assert a.text == BAD.decode("utf-8", errors="replace")  # U+FFFD policy
+    assert "�" in a.text
+    b = rows["https://b.example/y"]
+    assert b.text == OK.decode("utf-8")
+    assert b.warc_ts.isoformat().startswith("2024-01-02T03:04:05")
+
+    # C15: the mapInPandas decode must agree with matcher.decode_html
+    from warcannon_spark.operators.matcher import decode_html
+
+    redecoded = (
+        read_warc_pages(spark, str(tmp_path))
+        .select("url", decode_html(F.col("html")).alias("t2"), "text")
+        .collect()
+    )
+    for r in redecoded:
+        assert r.t2 == r.text
+
+
+def test_warc_roundtrip_matches_pages_corpus(spark, sf_dir):
+    from warcannon_spark.sources.pages import pages_df
+    from warcannon_spark.sources.warc import read_warc_pages, warc_fixture_dir
+
+    src = sorted(
+        (r.url, r.text)
+        for r in pages_df(spark, sf_dir)
+        .filter(F.col("fetch_seq") % 10 == 0)
+        .select("url", "text")
+        .collect()
+    )
+    got = sorted(
+        (r.url, r.text)
+        for r in read_warc_pages(spark, warc_fixture_dir(spark, sf_dir))
+        .select("url", "text")
+        .collect()
+    )
+    assert src == got
+    assert len(src) > 0

@@ -53,34 +53,36 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = 
     )
 
 
-def _perm_hashes(shingle: Column) -> Column:
-    """Array of NUM_PERM portable hashes of one shingle — all JVM-side."""
+def _perm_hashes(shingle: Column, num_perm: int = NUM_PERM) -> Column:
+    """Array of num_perm portable hashes of one shingle — all JVM-side."""
     return F.transform(
-        F.sequence(F.lit(0), F.lit(NUM_PERM - 1)),
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
         lambda s: h64(F.concat(s.cast("string"), F.lit("|"), shingle)),
     )
 
 
-def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, shingle) → one row per doc with columns s0..s{NUM_PERM-1}."""
-    with_h = sh.withColumn("h", _perm_hashes(F.col("shingle")))
+def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """(doc_id, shingle) → one row per doc with columns s0..s{num_perm-1}."""
+    with_h = sh.withColumn("h", _perm_hashes(F.col("shingle"), num_perm))
     aggs = [
-        F.min(F.element_at("h", k + 1)).alias(f"s{k}") for k in range(NUM_PERM)
+        F.min(F.element_at("h", k + 1)).alias(f"s{k}") for k in range(num_perm)
     ]
     return with_h.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_bands(sig: DataFrame) -> DataFrame:
+def lsh_bands(
+    sig: DataFrame, num_perm: int = NUM_PERM, band_size: int = BAND_SIZE
+) -> DataFrame:
     """Signature → (doc_id, band, band_key) rows; band_key is the md5 of
     the band's signature slice (comma-joined, seed order)."""
     band_structs = []
-    for b in range(NUM_BANDS):
+    for b in range(num_perm // band_size):
         key = F.md5(
             F.concat_ws(
                 ",",
                 *[
-                    F.col(f"s{b * BAND_SIZE + j}").cast("string")
-                    for j in range(BAND_SIZE)
+                    F.col(f"s{b * band_size + j}").cast("string")
+                    for j in range(band_size)
                 ],
             )
         )
@@ -92,13 +94,31 @@ def lsh_bands(sig: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
-def minhash_lsh_pairs(docs: DataFrame, n: int = 3, jaccard_num: int = 3, jaccard_den: int = 5) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    jaccard_num: int = 3,
+    jaccard_den: int = 5,
+    num_perm: int = NUM_PERM,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → band-bucket join →
     exact-Jaccard verify. Returns (doc_a, doc_b, inter_cnt, union_cnt)
     for pairs with jaccard >= jaccard_num/jaccard_den — the comparison is
-    kept in integer arithmetic so cross-engine hashing stays exact."""
+    kept in integer arithmetic so cross-engine hashing stays exact.
+
+    CANDIDATE recall at Jaccard t with b = num_perm/band_size bands of
+    r = band_size rows is 1−(1−t^r)^b; exact-verify then removes false
+    positives, so recall is the only knob. The oracle-pinned default
+    (16 perms, 4 bands of 4) is a skeleton — ~43% at t=0.6 exactly at
+    the threshold. A production campaign sets e.g. num_perm=128,
+    band_size=4 (32 bands → 99% at t=0.6); the plan shape is identical
+    (num_perm min-aggs, one shuffle, banded equi-join), only the
+    signature width grows."""
     sh = shingles(docs, n=n).persist()
-    bands = lsh_bands(minhash_signatures(sh))
+    bands = lsh_bands(
+        minhash_signatures(sh, num_perm), num_perm, band_size
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -142,23 +162,45 @@ def distinct_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
-def simhash_near_pairs(
-    docs: DataFrame, band_bits: int = 15, max_hamming: int = 6
-) -> DataFrame:
-    """SimHash near-dup pairs: band the 60-bit signature into 60/band_bits
-    chunks (a pair within hamming ≤ (bands-1) must collide on ≥1 band),
-    bucket-join candidates, verify exact hamming with native bit_count.
-    Output (doc_a, doc_b, hamming)."""
-    sig = simhash(docs)
-    n_bands = SIMHASH_BITS // band_bits
+def simhash_bands(max_hamming: int, n_bits: int = SIMHASH_BITS) -> list[tuple[int, int]]:
+    """(offset, width) per band for a COMPLETE banding at ``max_hamming``:
+    n_bands = max_hamming + 1 bands that tile all ``n_bits`` bits, so by
+    pigeonhole any pair within hamming ≤ max_hamming leaves ≥1 band
+    untouched — i.e. collides on ≥1 band bucket, zero candidate misses.
+    Widths differ by at most 1 when n_bits % n_bands != 0."""
+    n_bands = max_hamming + 1
+    if n_bands > n_bits:
+        raise ValueError(f"max_hamming={max_hamming} needs more bands than bits={n_bits}")
+    base, rem = divmod(n_bits, n_bands)
+    out, off = [], 0
+    for b in range(n_bands):
+        w = base + (1 if b < rem else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """SimHash near-dup pairs over documents: signature + banded bucket
+    join. Output (doc_a, doc_b, hamming ≤ max_hamming)."""
+    return banded_hamming_pairs(simhash(docs), max_hamming=max_hamming)
+
+
+def banded_hamming_pairs(sig: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """sig(doc_id, simhash) → near pairs: band the 60-bit signature into
+    (max_hamming + 1) chunks — the banding is DERIVED from max_hamming so
+    the pigeonhole completeness guarantee always holds (round-1 defect:
+    a fixed 4-band layout silently missed hamming-4..6 pairs at the
+    default threshold) — bucket-join candidates, verify exact hamming
+    with native bit_count. Output (doc_a, doc_b, hamming)."""
     band_structs = [
         F.struct(
             F.lit(b).cast("int").alias("band"),
-            F.shiftright(F.col("simhash"), b * band_bits)
-            .bitwiseAND(F.lit((1 << band_bits) - 1))
+            F.shiftright(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << width) - 1))
             .alias("band_val"),
         )
-        for b in range(n_bands)
+        for b, (off, width) in enumerate(simhash_bands(max_hamming))
     ]
     bands = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")

@@ -1,0 +1,115 @@
+"""Per-pattern regex cost telemetry (SURVEY §2 gap "regex cost profiler";
+reference: parse_regex.js:50-63,171-184 — per-record ns, regex vs
+overhead ratio, projected campaign cost).
+
+When users add their own matchers, one catastrophic pattern can dominate
+a campaign; the reference's only perf tool is this profiler. Here it is
+a distributed sampling pass: a ``mapInPandas`` kernel times each pattern
+(and the production fused kernel, for the regex/overhead ratio) over its
+Arrow batches and emits per-task partial rows; the rollup is a plain
+aggregation. Timings are wall-clock — run it on a corpus SAMPLE
+(``sample_fraction``) and read ratios, not absolutes.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..matches import REGEX_PATTERNS
+
+PROFILE_SCHEMA = (
+    "pattern string, pages long, bytes long, hits long, ns long"
+)
+
+FUSED_KEY = "__fused__"
+
+
+def _profile_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .matcher import extract_match_lists
+
+    compiled = {name: re.compile(src) for name, src in REGEX_PATTERNS.items()}
+    stats = {name: [0, 0, 0, 0] for name in compiled}  # pages, bytes, hits, ns
+    stats[FUSED_KEY] = [0, 0, 0, 0]
+    for pdf in batches:
+        texts = pdf["text"].astype(object)
+        n_pages = len(texts)
+        n_bytes = int(texts.str.len().fillna(0).sum())
+        for name, rx in compiled.items():
+            t0 = time.perf_counter_ns()
+            hits = 0
+            for t in texts:
+                if isinstance(t, str) and t:
+                    for _ in rx.finditer(t):
+                        hits += 1
+            dt = time.perf_counter_ns() - t0
+            s = stats[name]
+            s[0] += n_pages
+            s[1] += n_bytes
+            s[2] += hits
+            s[3] += dt
+        t0 = time.perf_counter_ns()
+        fused = extract_match_lists(texts)
+        dt = time.perf_counter_ns() - t0
+        s = stats[FUSED_KEY]
+        s[0] += n_pages
+        s[1] += n_bytes
+        s[2] += int(fused.map(len).sum())
+        s[3] += dt
+    if any(s[0] for s in stats.values()):
+        yield pd.DataFrame(
+            [
+                {"pattern": name, "pages": s[0], "bytes": s[1], "hits": s[2], "ns": s[3]}
+                for name, s in stats.items()
+            ]
+        )
+
+
+def profile_patterns(
+    pages: DataFrame, text_col: str = "text", sample_fraction: float | None = None
+) -> DataFrame:
+    """pages → one row per pattern (plus ``__fused__`` = the production
+    kernel) with sampled cost telemetry:
+
+      pages/bytes/hits — coverage of the sample
+      ns_total         — summed scan time across tasks
+      ns_per_mb        — normalized cost (compare patterns with this)
+      cost_share       — this pattern's share of total per-pattern time
+                         (the "which matcher is eating my campaign" view)
+
+    The ``__fused__`` row over sum(per-pattern ns) is the reference's
+    regex/overhead ratio: <1 means the fused+prefiltered production scan
+    beats naive per-pattern scanning."""
+    df = pages.select(F.col(text_col).alias("text"))
+    if sample_fraction is not None:
+        df = df.sample(fraction=sample_fraction, seed=42)
+    raw = df.mapInPandas(_profile_batches, PROFILE_SCHEMA)
+    agg = raw.groupBy("pattern").agg(
+        F.sum("pages").alias("pages"),
+        F.sum("bytes").alias("bytes"),
+        F.sum("hits").alias("hits"),
+        F.sum("ns").alias("ns_total"),
+    )
+    # global share: the profile output is ≤ |patterns|+1 rows, so the
+    # unpartitioned window is a single-task no-op, not a scale concern.
+    total = F.sum(
+        F.when(F.col("pattern") != FUSED_KEY, F.col("ns_total")).otherwise(0)
+    ).over(Window.partitionBy())
+    return agg.select(
+        "pattern",
+        "pages",
+        "bytes",
+        "hits",
+        "ns_total",
+        (F.col("ns_total") / F.greatest(F.col("bytes"), F.lit(1)) * 1e6)
+        .cast("double")
+        .alias("ns_per_mb"),
+        (F.col("ns_total") / F.greatest(total, F.lit(1)))
+        .cast("double")
+        .alias("cost_share"),
+    ).orderBy(F.desc("ns_total"))

@@ -37,16 +37,19 @@ def match_rollup(
     """
     keys = ["pattern", group_value, "domain"]
     carry_value = group_value != "value"
+    # value is functionally dependent on value_sha1, so carrying it as a
+    # GROUP KEY (not a first()/min() aggregate) changes no group — and it
+    # keeps every aggregation buffer numeric, so stage 1 compiles to a
+    # plain HashAggregate (a string-valued agg buffer forces SortAggregate
+    # on the hottest rollup path; pinned by tests/test_plans.py).
+    group_keys = keys + (["value"] if carry_value else [])
 
     # Stage 1 — per-URI partial: first-seen order key + occurrence count.
     # Shuffles on (keys, url); partial aggregation is map-side combined.
-    stage1_aggs = [
+    per_uri = hits.groupBy(*group_keys, "url").agg(
         F.count(F.lit(1)).alias("uri_hits"),
         F.min(order_col).alias("first_seen"),
-    ]
-    if carry_value:
-        stage1_aggs.append(F.first("value").alias("value"))
-    per_uri = hits.groupBy(*keys, "url").agg(*stage1_aggs)
+    )
 
     # Stage 2 — bounded top-3 per group + total count. The window and the
     # final groupBy share the same keys, so AQE reuses the exchange.
@@ -61,13 +64,11 @@ def match_rollup(
             )
         ).alias("_top"),
     ]
-    if carry_value:
-        stage2_aggs.append(F.first("value").alias("value"))
     out_cols = ["pattern", group_value, "domain"]
     if carry_value:
         out_cols.append("value")
     return (
-        ranked.groupBy(*keys)
+        ranked.groupBy(*group_keys)
         .agg(*stage2_aggs)
         .withColumn("uris", F.transform("_top", lambda s: s["url"]))
         .drop("_top")
@@ -96,10 +97,61 @@ def quick_results(hits: DataFrame, order_col: str = "fetch_seq") -> DataFrame:
     )
 
 
+def results_json_per_pattern(rollup: DataFrame) -> DataFrame:
+    """DISTRIBUTED export of the reference's nested results document
+    (``regex_hits: {pattern → {sha1 → {value, domain → [uri×≤3]}}}``,
+    warcannon.js:292-318): one JSON document per PATTERN, assembled with
+    two nested map aggregations + ``to_json`` — no driver-side fold.
+
+    Grain rationale at 100 TB: the full document is unbounded (every
+    unique secret), so the export grain is per-pattern rows written with
+    ``df.write.json``; pattern counts are small and fixed, and each
+    pattern's subtree aggregates in one reducer after the (pattern,
+    sha1)-keyed pre-aggregation. ``results_document`` below remains the
+    driver-side FIXTURE path for byte-compatible small corpora only.
+    Maps are built from sorted entry lists so the JSON is deterministic."""
+    lvl1 = rollup.groupBy("pattern", "value_sha1", "value").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("domain", "uris")))
+        ).alias("domains")
+    )
+    # inner entries are serialized to JSON strings BEFORE the outer
+    # collect so the outer array stays sortable (Spark cannot order
+    # structs containing maps); sha1 hex keys are quote-safe by
+    # construction, so the outer object is assembled by concat.
+    with_entry = lvl1.select(
+        "pattern",
+        "value_sha1",
+        F.to_json(F.struct("value", "domains")).alias("entry_json"),
+    )
+    entries = F.array_sort(F.collect_list(F.struct("value_sha1", "entry_json")))
+    doc = F.concat(
+        F.lit("{"),
+        F.array_join(
+            F.transform(
+                entries,
+                lambda s: F.concat(
+                    F.lit('"'), s["value_sha1"], F.lit('":'), s["entry_json"]
+                ),
+            ),
+            ",",
+        ),
+        F.lit("}"),
+    )
+    return with_entry.groupBy("pattern").agg(doc.alias("doc_json"))
+
+
+def export_results_json(rollup: DataFrame, path: str) -> None:
+    """Campaign-size results export: per-pattern nested JSON rows written
+    distributedly (K2 at scale)."""
+    results_json_per_pattern(rollup).write.mode("overwrite").json(path)
+
+
 def results_document(rollup_rows: list[dict], total: int) -> dict:
     """Reconstruct the reference's nested results JSON (abstraction #4,
-    SURVEY §1.1) from collected rollup rows — export/fixture path only,
-    never part of a distributed plan."""
+    SURVEY §1.1) from collected rollup rows — export/FIXTURE path only
+    (small corpora), never part of a distributed plan; the distributed
+    equivalent is ``results_json_per_pattern``/``export_results_json``."""
     doc: dict = {"total_hits": total, "regex_hits": {}}
     for row in rollup_rows:
         pat = doc["regex_hits"].setdefault(row["pattern"], {})

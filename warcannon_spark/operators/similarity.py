@@ -10,10 +10,19 @@ Two paths:
     buckets vectors; queries probe only their own bucket. Same expression
     kernel, the join becomes bucket-equi instead of broadcast-cross.
 
-At 100 TB the IVF variant is the real design: bucket ids come from a
-trained coarse quantizer, vectors are stored bucket-partitioned so the
+  * ``ivf_trained_topk`` — the 100 TB design with a REAL coarse
+    quantizer: deterministic Lloyd's k-means trained distributedly (the
+    only driver-side state is the C×dim centroid matrix, a few KB),
+    corpus assigned to its nearest centroid, queries probing their
+    ``nprobe`` nearest cells. Recall vs the brute-force oracle is pinned
+    by tests (≥0.9 @ nprobe=2).
+
+At 100 TB: vectors are stored bucket-partitioned by centroid id so the
 probe join prunes partitions; the brute-force path remains the recall
-oracle on samples.
+oracle on samples. ``ivf_topk``'s sign-bit quantizer is kept as the
+SQL-oracle-checkable skeleton (DuckDB can replicate it exactly);
+``ivf_trained_topk`` is the production path (rows-only checked — k-means
+is not single-statement SQL).
 """
 
 from __future__ import annotations
@@ -58,6 +67,113 @@ def cosine_topk(
         F.col("nrm").alias("qnrm"),
     )
     joined = base.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    cos = _dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+    return (
+        joined.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+def _sqdist(a: Column, c: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centroid_array(centroids: list[list[float]]) -> Column:
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+
+
+def nearest_centroid(e: Column, centroids: list[list[float]]) -> Column:
+    """0-based id of the nearest centroid (ties → lowest id) — native
+    expressions only, no Python in the assignment path."""
+    dists = F.transform(_centroid_array(centroids), lambda c: _sqdist(e, c))
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+
+
+def train_ivf_centroids(
+    emb: DataFrame, n_clusters: int = 8, iters: int = 3
+) -> list[list[float]]:
+    """Deterministic distributed Lloyd's k-means over the embedding
+    column. Init = the ``n_clusters`` lowest-vec_id vectors (seeded,
+    reproducible); each iteration is one assignment pass (native
+    expressions) + one (bucket, dim) mean shuffle. Only the C×dim
+    centroid matrix ever reaches the driver — at 10^10 vectors that is
+    still a few KB per iteration."""
+    base = with_norm(emb).select("vec_id", "e").persist()
+    cents = [
+        list(r.e) for r in base.orderBy("vec_id").limit(n_clusters).collect()
+    ]
+    for _ in range(iters):
+        assigned = base.withColumn("bucket", nearest_centroid(F.col("e"), cents))
+        means = (
+            assigned.select("bucket", F.posexplode("e").alias("pos", "val"))
+            .groupBy("bucket", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_bucket: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_bucket.setdefault(int(r.bucket), {})[int(r.pos)] = float(r.m)
+        cents = [
+            [by_bucket[b][p] for p in sorted(by_bucket[b])]
+            if b in by_bucket
+            else cents[b]  # empty cell keeps its previous centroid
+            for b in range(n_clusters)
+        ]
+    base.unpersist()
+    return cents
+
+
+def ivf_trained_topk(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    query_mod: int = 53,
+    k: int = 5,
+    iters: int = 3,
+) -> DataFrame:
+    """IVF with the trained quantizer: corpus vectors live in exactly one
+    cell; each query probes its ``nprobe`` nearest cells, so the
+    candidate set shrinks by ~n_clusters/nprobe versus brute force while
+    the join stays a bucket equi-join (partition-prunable when the corpus
+    is stored bucket-partitioned). Output (qid, neighbor_id, rank)."""
+    cents = train_ivf_centroids(emb, n_clusters=n_clusters, iters=iters)
+    base = with_norm(emb).withColumn(
+        "bucket", nearest_centroid(F.col("e"), cents)
+    )
+    dists = F.transform(_centroid_array(cents), lambda c: _sqdist(F.col("e"), c))
+    probes = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    dists, lambda d, i: F.struct(d.alias("d"), i.alias("i"))
+                )
+            ),
+            lambda s: s["i"].cast("long"),
+        ),
+        1,
+        nprobe,
+    )
+    q = (
+        base.filter(F.col("vec_id") % query_mod == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+            F.explode(probes).alias("bucket"),
+        )
+    )
+    joined = base.join(F.broadcast(q), "bucket").filter(
         F.col("vec_id") != F.col("qid")
     )
     cos = _dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))

@@ -45,9 +45,35 @@ from ..operators.matcher import match_hits
 from ..sources.tableio import TableIO
 from . import frontier as FR
 from .bloom import build_bloom, novel_urls
-from .robots import robots_allowed
+from .robots import robots_gate, robots_rules
 
 LINK_RE = r'href="(https?://[^"]+)"'
+
+
+def fetch_join(pages: DataFrame, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The fetch-sim join, with the build side pinned to the BOUNDED batch.
+
+    ``got``    = pages ⋈ broadcast(batch) on canon_url (inner) — the corpus
+                 side streams through the broadcast-hash join probe with NO
+                 exchange and NO broadcast of corpus data; only the leased
+                 batch (≤ hosts × budget rows) is built/broadcast.
+    ``missed`` = batch ⟕̸ got on canon_url (left_anti) — both sides are
+                 batch-bounded, so the miss set never touches the corpus
+                 beyond the already-computed ``got``.
+
+    Scale property (asserted by tests/test_plans.py): a LeftOuter
+    batch×corpus join would force Spark to build the CORPUS side
+    (BuildRight under LeftOuter) — a multi-TB broadcast or, under AQE
+    fallback, a full-corpus shuffle per crawl round at the 100 TB target.
+    This shape keeps the corpus scan exchange-free regardless of corpus
+    size. ``got`` should be persisted by the caller: ``missed`` reuses it.
+    """
+    corpus = pages.withColumnRenamed("url", "page_url")
+    got = corpus.join(
+        F.broadcast(batch), corpus.page_url == batch.canon_url, "inner"
+    )
+    missed = batch.join(got.select("canon_url"), "canon_url", "left_anti")
+    return got, missed
 
 
 class CrawlEngine:
@@ -71,6 +97,10 @@ class CrawlEngine:
         # with frontier column names downstream.
         self.pages = pages.select("url", "text")
         self.robots = robots
+        # robots rules parsed ONCE per engine (executor-side) and cached
+        # across rounds — round 1 re-collected + re-broadcast them every
+        # round (driver bottleneck + broadcast leak at web scale).
+        self._rules: DataFrame | None = None
         self.budget = budget_per_host
         self.P = num_partitions
         self.max_attempts = max_attempts
@@ -155,47 +185,40 @@ class CrawlEngine:
             F.col("round") <= self.round_no
         )
 
-    def drained(self) -> bool:
-        """R4 drain detection: nothing eligible now or ever again."""
-        return (
-            FR.eligible_now(self.frontier(), self.round_no)
-            .limit(1)
-            .count()
-            == 0
-        )
+    def drained(self, frontier: DataFrame | None = None) -> bool:
+        """R4 drain detection: nothing eligible now or ever again. Accepts
+        an already-resolved (ideally persisted) frontier so run() pays ONE
+        base∪log latest-wins resolution per round, not two."""
+        f = self.frontier() if frontier is None else frontier
+        return FR.eligible_now(f, self.round_no).limit(1).count() == 0
 
     # -- one round ------------------------------------------------------------
-    def run_round(self) -> dict:
+    def run_round(self, frontier: DataFrame | None = None) -> dict:
         t0 = time.time()
         rnd = self.round_no + 1
-        frontier = self.frontier().persist()
+        frontier = (self.frontier() if frontier is None else frontier).persist()
 
         batch = FR.politeness_dequeue(
             frontier, round_no=rnd, budget_per_host=self.budget
         ).persist()
 
-        # robots gate (J4): blocked rows become terminal outcomes.
+        # robots gate (J4): blocked rows become terminal outcomes. The
+        # gate is a distributed DataFrame join (plans/robots.robots_gate);
+        # rules are parsed once per engine and cached.
         if self.robots is not None:
-            gated = batch.withColumn(
-                "__allowed", robots_allowed(batch, self.robots)
-            ).persist()
+            if self._rules is None:
+                self._rules = robots_rules(self.robots).persist()
+            gated = robots_gate(batch, self._rules).persist()
             allowed = gated.filter(F.col("__allowed")).drop("__allowed")
             blocked = gated.filter(~F.col("__allowed")).drop("__allowed")
         else:
             allowed, blocked = batch, None
 
-        # fetch-sim: join on canonical url. The pages side is the big
-        # side; the leased batch is bounded by hosts×budget, so Spark
-        # broadcast-joins the batch against the corpus scan (verified in
-        # tests via explain) — no corpus shuffle.
-        fetched = allowed.join(
-            self.pages.withColumnRenamed("url", "page_url"),
-            allowed.canon_url == F.col("page_url"),
-            "left",
-        ).persist()
-
-        got = fetched.filter(F.col("page_url").isNotNull())
-        missed = fetched.filter(F.col("page_url").isNull())
+        # fetch-sim: pages ⋈ broadcast(leased batch) — the batch (bounded
+        # by hosts×budget) is the build side; the corpus scan streams with
+        # no exchange (plan-asserted in tests/test_plans.py; see fetch_join).
+        got, missed = fetch_join(self.pages, allowed)
+        got = got.persist()
 
         # matcher over fetched pages (flagship operator).
         hits = match_hits(
@@ -230,9 +253,7 @@ class CrawlEngine:
                 if self.use_bloom
                 else None
             )
-            novel = novel_urls(
-                cand, seen, bloom, num_partitions=self.P
-            ).dropDuplicates(["url_hash"])
+            novel = novel_urls(cand, seen, bloom).dropDuplicates(["url_hash"])
             new_rows = novel.persist()
             discovered = new_rows.count()
 
@@ -289,7 +310,7 @@ class CrawlEngine:
         dequeued = batch.count()
         self._commit_delta(delta, rnd)
 
-        for df in (frontier, batch, fetched):
+        for df in (frontier, batch, got):
             df.unpersist()
         if new_rows is not None:
             new_rows.unpersist()
@@ -322,9 +343,14 @@ class CrawlEngine:
             "value",
             "value_sha1",
             "partition_id",
-        )
+        ).persist()
         self.t_matches.write(out, mode="append", meta={"round": rnd})
-        return self.t_matches.read(self.spark).filter(F.col("round") == rnd).count()
+        # Count the round's own rows from the cached frame — NOT a re-read
+        # of the whole matches table, which would make every round pay
+        # O(total campaign matches) just to report its own count.
+        n = out.count()
+        out.unpersist()
+        return n
 
     def run(self, max_rounds: int = 100) -> list[dict]:
         """Run rounds until drained (R4) or max_rounds. Safe to call on a
@@ -332,7 +358,9 @@ class CrawlEngine:
         the latest snapshots (R7)."""
         log = []
         for _ in range(max_rounds):
-            if self.drained():
+            frontier = self.frontier().persist()
+            if self.drained(frontier):
+                frontier.unpersist()
                 break
-            log.append(self.run_round())
+            log.append(self.run_round(frontier))
         return log

@@ -6,11 +6,21 @@ prefix rules apply, empty Disallow means allow-all, comments stripped.
 Decision per (host, path): the LONGEST matching prefix rule wins; on a
 length tie Allow wins; hosts with no rules (or no robots.txt) allow all.
 
-Execution shape: the rule table is tiny relative to the corpus (one row
-per host-rule), so it is collected once and broadcast via the
-SparkContext; the gate itself is one Arrow-batched pandas UDF that groups
-each batch by host and applies the host's few rules with vectorized
-``str.startswith`` over the whole group — no per-row Python dispatch.
+Execution shape (the 100 TB design, round-2): robots.txt bodies are
+parsed EXECUTOR-SIDE into a flat (host, prefix, is_allow, rule_len) rule
+table — ``robots_rules`` — and the gate is a pure DataFrame plan —
+``robots_gate`` — that joins the batch to the rules on host, keeps
+matching prefixes, and resolves longest-prefix/allow-on-tie with one
+``max(struct(rule_len, is_allow))`` aggregate. Nothing ever touches the
+driver: at web scale the rules table is millions of hosts, so the round-1
+shape (collect() into a dict + a fresh sc.broadcast per round) was a
+driver-OOM / leak bottleneck. The rules DataFrame is parsed once and
+cached by the caller (CrawlEngine) across rounds; Spark/AQE picks
+broadcast-hash when the rule table is small and a shuffled join on host
+when it isn't.
+
+``robots_allowed`` (the round-1 pandas-UDF Column gate) is retained for
+small fixture tables only.
 """
 
 from __future__ import annotations
@@ -19,7 +29,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 
 def parse_robots_txt(txt: str, agent: str = "*") -> list[tuple[str, bool]]:
@@ -45,6 +61,77 @@ def parse_robots_txt(txt: str, agent: str = "*") -> list[tuple[str, bool]]:
             if key in ("allow", "disallow") and applies and val:
                 rules.append((val, key == "allow"))
     return rules
+
+
+_RULE_ELEM = StructType(
+    [StructField("prefix", StringType()), StructField("is_allow", BooleanType())]
+)
+
+
+@F.pandas_udf(ArrayType(_RULE_ELEM))
+def _parse_rules_udf(txts: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            [
+                {"prefix": p, "is_allow": a}
+                for p, a in parse_robots_txt(t if isinstance(t, str) else "")
+            ]
+            for t in txts
+        ],
+        dtype=object,
+    )
+
+
+def robots_rules(robots: DataFrame) -> DataFrame:
+    """robots(host, robots_txt) → flat rule rows
+    (host, prefix, is_allow, rule_len), parsed executor-side (Arrow
+    batches; never collected to the driver). Hosts whose robots.txt
+    yields no wildcard-group rules produce no rows (= allow-all)."""
+    return (
+        robots.select(
+            "host", F.explode(_parse_rules_udf(F.col("robots_txt"))).alias("r")
+        )
+        .select(
+            "host",
+            F.col("r.prefix").alias("prefix"),
+            F.col("r.is_allow").alias("is_allow"),
+            F.length("r.prefix").alias("rule_len"),
+        )
+    )
+
+
+def robots_gate(
+    df: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+    key_col: str = "url_hash",
+    out_col: str = "__allowed",
+) -> DataFrame:
+    """df + BOOLEAN ``out_col``: longest-prefix robots decision as a pure
+    DataFrame plan (J4 at scale).
+
+    Shape: df ⋈ rules on host (inner; rows with no host rules skip the
+    aggregate entirely and default to allowed) → keep prefixes that match
+    the path → ``max(struct(rule_len, is_allow))`` per ``key_col`` —
+    struct ordering gives longest-prefix-wins and Allow-wins-on-ties —
+    → left join the verdict back. The verdict frame is bounded by the
+    batch, so both joins are batch-sized; the rules side is the only
+    potentially-large input and it is equi-joined on host (AQE decides
+    broadcast vs shuffle)."""
+    verdict = (
+        df.select(key_col, host_col, path_col)
+        .join(rules, on=host_col, how="inner")
+        .filter(F.col(path_col).startswith(F.col("prefix")))
+        .groupBy(key_col)
+        .agg(F.max(F.struct("rule_len", "is_allow")).alias("__m"))
+        .select(key_col, F.col("__m.is_allow").alias("__rule_verdict"))
+    )
+    return (
+        df.join(verdict, on=key_col, how="left")
+        .withColumn(out_col, F.coalesce("__rule_verdict", F.lit(True)))
+        .drop("__rule_verdict")
+    )
 
 
 def rules_by_host(robots: DataFrame) -> dict[str, list[tuple[str, bool]]]:

@@ -180,6 +180,26 @@ def q_index_rollup_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "warc_ingest",
+    f"""WITH {PAGES_CTE}
+SELECT url, md5(text) AS text_md5 FROM pages WHERE fetch_seq % 10 = 0""",
+)
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S3: WARC round-trip. A corpus subset is serialized into gzipped
+    multi-member WARCs (cached fixture) and re-ingested through the
+    distributed record splitter (sources/warc.py); the output must
+    hash-match the source derivation — i.e. text survives
+    serialize→gunzip→record-split→HTTP-payload→decode byte-identically
+    (C15)."""
+    from .sources.warc import read_warc_pages, warc_fixture_dir
+
+    path = warc_fixture_dir(spark, sf_dir, mod=10)
+    return read_warc_pages(spark, path).select(
+        "url", F.md5(F.col("text")).alias("text_md5")
+    )
+
+
 # =========================================================================
 # §B — frontier primitives as queries (SURVEY §2.5 J3/J4, §2.6 W1/W3)
 # =========================================================================
@@ -251,6 +271,56 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("hid") % 4 == 2) & F.col("path").startswith("/p/1"))
     )
     return pages.filter(~blocked).select("url", "host")
+
+
+@_q(
+    "athena_csv_seeds",
+    f"""WITH {PAGES_CTE}
+SELECT url, host, '/p/' || CAST(fetch_seq AS VARCHAR) AS path
+FROM pages WHERE fetch_seq % 7 = 0""",
+)
+def q_athena_csv_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: the Athena-CSV loader flow end-to-end — a result CSV (cached
+    deterministic fixture) loaded through the native CSV reader, pushed
+    through frontier_rows (canonicalize + host/path derivation), i.e.
+    CSV → seeds → frontier population (cc_athena_loader/main.js:28-61).
+    Corpus URLs are canonical already, so the oracle derives the same
+    host/path directly."""
+    from .plans.frontier import frontier_rows
+    from .sources.seeds import csv_seed_fixture, load_seed_csv
+
+    path = csv_seed_fixture(spark, sf_dir, mod=7)
+    seeds = load_seed_csv(spark, path)
+    fr = frontier_rows(seeds, round_no=0, num_partitions=8)
+    return fr.select("url", "host", "path")
+
+
+@_q(
+    "crawl_listing",
+    f"""WITH {PAGES_CTE}
+SELECT 'CC-MAIN-' || CAST(fetch_seq % 4 AS VARCHAR) AS crawl,
+       count(*) AS n_pages, count(DISTINCT host) AS n_hosts
+FROM pages GROUP BY 1 ORDER BY 1""",
+)
+def q_crawl_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: crawl-listing rollup (bin/warcannon.js:106-123 lists available
+    crawl partitions before a campaign). The corpus's crawl-segment key
+    is derived (fetch_seq % 4 — the sandbox stand-in for the Iceberg
+    partition column); listing = group + count + distinct-host breadth,
+    ordered. Engine-side state catalogs use TableIO.snapshots()."""
+    pages = pages_df(spark, sf_dir)
+    return (
+        pages.groupBy(
+            F.concat(
+                F.lit("CC-MAIN-"), (F.col("fetch_seq") % 4).cast("string")
+            ).alias("crawl")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+        .orderBy("crawl")
+    )
 
 
 # =========================================================================
@@ -368,7 +438,7 @@ def q_frontier_bloom_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("url", key.alias("url_hash"))
     )
     bloom = build_bloom(seen, num_partitions=8)
-    return novel_urls(candidates, seen, bloom, num_partitions=8).select("url")
+    return novel_urls(candidates, seen, bloom).select("url")
 
 
 @_q(
@@ -676,6 +746,30 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = ivf_topk(_t(spark, sf_dir, "embeddings"), query_mod=53, k=5)
     return df.select("qid", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+@_q("regex_cost_profile")  # rows-only: wall-clock telemetry is nondeterministic
+def q_regex_cost_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's regex cost profiler (parse_regex.js:50-63,171-184)
+    as a distributed sampling pass: one row per pattern + the fused
+    production kernel, with ns/MB and cost-share telemetry. Row COUNT is
+    deterministic (|patterns| + 1); timing values are not, hence
+    rows-only. Invariants pinned by tests/test_matcher.py."""
+    from .operators.profiler import profile_patterns
+
+    return profile_patterns(pages_df(spark, sf_dir))
+
+
+@_q("ann_ivf_trained")  # rows-only: Lloyd's k-means is not one SQL statement
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN path: trained coarse quantizer (deterministic
+    distributed k-means) + nprobe=2 cell probing. Recall ≥ 0.9 vs the
+    brute-force oracle is pinned by tests/test_dataops.py."""
+    from .operators.similarity import ivf_trained_topk
+
+    return ivf_trained_topk(
+        _t(spark, sf_dir, "embeddings"), n_clusters=8, nprobe=2, query_mod=53, k=5
+    )
 
 
 @_q(

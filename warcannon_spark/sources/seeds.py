@@ -1,0 +1,63 @@
+"""Seed-list sources (SURVEY §2.1 S4/S5/S8).
+
+S5 — Athena-CSV loader analog: the reference resolves an Athena query
+execution to its result CSV and feeds the ``warc_filename``/url column
+into the work queue (cc_athena_loader/main.js:28-61). Here that is
+``load_seed_csv`` → ``plans.frontier.frontier_rows`` — a header'd CSV
+scan (Spark's native reader: splittable, predicate-pushable, schema'd)
+whose url column seeds the frontier.
+
+S8 — crawl-listing analog: the reference lists available crawl
+partitions before a campaign (bin/warcannon.js:106-123, SHOW PARTITIONS
+on the commoncrawl index). ``crawl_listing`` rolls the corpus up by its
+crawl-segment key; TableIO.snapshots() is the engine-side catalog
+listing for state tables.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_seed_csv(
+    spark: SparkSession, path: str, url_col: str = "url"
+) -> DataFrame:
+    """Athena-result-style CSV (header row, quoted fields) → seeds(url).
+    Blank/absent url cells are dropped, mirroring the loader's row gate
+    (cc_athena_loader/main.js:46-52)."""
+    df = spark.read.option("header", True).option("quote", '"').csv(path)
+    return (
+        df.select(F.col(url_col).alias("url"))
+        .filter(F.col("url").isNotNull() & (F.col("url") != ""))
+    )
+
+
+def csv_seed_fixture(spark: SparkSession, sf_dir: str, mod: int = 7) -> str:
+    """Deterministic Athena-result CSV fixture: the pages-corpus subset
+    ``fetch_seq % mod == 0`` written as a quoted, header'd CSV (cached
+    per sf_dir); the S5 query loads it back through the real CSV path."""
+    from .pages import PAGES_VERSION, pages_df
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/wc_seed_csv_v{PAGES_VERSION}_{tag}_m{mod}"
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(path, exist_ok=True)
+        rows = (
+            pages_df(spark, sf_dir)
+            .filter(F.col("fetch_seq") % mod == 0)
+            .select("url", "fetch_seq")
+            .collect()
+        )
+        with open(os.path.join(path, "results.csv"), "w", newline="") as f:
+            w = csv.writer(f, quoting=csv.QUOTE_ALL)
+            w.writerow(["url", "fetch_seq"])
+            for r in rows:
+                w.writerow([r.url, r.fetch_seq])
+        with open(done, "w") as f:
+            f.write("ok")
+    return os.path.join(path, "results.csv")

@@ -119,3 +119,20 @@ class TableIO:
 
     def exists(self) -> bool:
         return self.latest_version() is not None
+
+    def snapshots(self) -> list[dict]:
+        """Catalog listing (S8 analog of SHOW PARTITIONS /
+        bin/warcannon.js:106-123): one row per committed snapshot with
+        its version, commit time, meta, and data-dir count."""
+        out = []
+        for v in self.versions():
+            m = self._manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "ts": m.get("ts"),
+                    "meta": m.get("meta", {}),
+                    "num_dirs": len(m.get("dirs", [])),
+                }
+            )
+        return out

@@ -1,0 +1,168 @@
+"""WARC ingestion (SURVEY §2.1 S1/S3) — gzipped WARC streams → pages rows.
+
+The reference's core input is gzipped Common-Crawl WARCs piped through a
+record splitter (lambda_functions/warcannon/main.js:67-75:
+``s3.getObject(...).createReadStream().pipe(new zlib.Gunzip()).pipe(new
+WARCStreamTransform())``) whose response records feed the matcher
+(parse_regex.js:96-124): keep ``WARC-Type: response`` records only, url =
+``WARC-Target-URI``, text = the HTTP payload decoded with
+``Buffer.toString()`` (= UTF-8 with U+FFFD replacement — the byte-identity
+invariant C15, same codepath as operators/matcher.decode_html).
+
+Spark-first shape: one WARC file = one ``binaryFile`` row = one task's
+work (Common Crawl ships ~72k files per crawl at ~1 GB gzip each, so file
+granularity saturates a 1000-executor cluster with no further splitting);
+the record splitter + HTTP payload extraction run as a ``mapInPandas``
+kernel yielding pages rows incrementally — per-record work never
+materializes a whole file's rows in one frame. (A truly streaming
+per-member gunzip is the production upgrade for >2 GB files; the stdlib
+multi-member ``gzip.decompress`` here holds one decompressed file per
+task, which matches the reference Lambda's memory model.)
+
+The synthetic-WARC writer lives here too so tests and the oracle query
+share one byte format (record layout per ISO 28500: version line, CRLF
+headers, Content-Length-delimited block, CRLF CRLF separator; one gzip
+member per record, the Common Crawl convention).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string"
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Decompressed WARC bytes → (header-fields, content-block) pairs.
+    Field names are lower-cased; the block is exactly Content-Length
+    bytes. Tolerant of garbage between records (scans to the next
+    ``WARC/`` magic)."""
+    i, n = 0, len(data)
+    while i < n:
+        j = data.find(b"WARC/", i)
+        if j < 0:
+            return
+        he = data.find(_CRLF2, j)
+        if he < 0:
+            return
+        fields: dict[str, str] = {}
+        header = data[j:he].decode("utf-8", errors="replace")
+        for line in header.split("\r\n")[1:]:
+            key, _, val = line.partition(":")
+            if key:
+                fields[key.strip().lower()] = val.strip()
+        try:
+            clen = int(fields.get("content-length", "0"))
+        except ValueError:
+            clen = 0
+        body = data[he + 4 : he + 4 + clen]
+        yield fields, body
+        i = he + 4 + clen
+
+
+def http_payload(body: bytes) -> bytes:
+    """Response-record content block → HTTP body (bytes after the first
+    CRLF CRLF header terminator; headerless blocks pass through whole)."""
+    sep = body.find(_CRLF2)
+    return body[sep + 4 :] if sep >= 0 else body
+
+
+def _parse_warc_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        for blob in pdf["content"]:
+            raw = bytes(blob)
+            data = gzip.decompress(raw) if raw[:2] == b"\x1f\x8b" else raw
+            urls: list[str] = []
+            tss: list = []
+            htmls: list[bytes] = []
+            texts: list[str] = []
+            for fields, body in iter_warc_records(data):
+                if fields.get("warc-type") != "response":
+                    continue
+                html = http_payload(body)
+                urls.append(fields.get("warc-target-uri", ""))
+                ts = pd.to_datetime(
+                    fields.get("warc-date"), utc=True, errors="coerce"
+                )
+                tss.append(None if ts is pd.NaT else ts.tz_localize(None))
+                htmls.append(html)
+                # C15 byte-identity: same decode as matcher.decode_html.
+                texts.append(html.decode("utf-8", errors="replace"))
+            if urls:
+                yield pd.DataFrame(
+                    {"url": urls, "warc_ts": tss, "html": htmls, "text": texts}
+                )
+
+
+def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Gzipped-WARC files under ``path`` → pages DataFrame
+    (url, warc_ts, html BINARY, text STRING) — the input_hint shape."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInPandas(_parse_warc_files, WARC_PAGES_SCHEMA)
+
+
+# -- synthetic-WARC writer (tests + oracle fixture) ------------------------
+
+
+def warc_record_bytes(url: str, warc_date: str, html: bytes) -> bytes:
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    header = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {warc_date}\r\n"
+        f"Content-Length: {len(http)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    return header + http + _CRLF2
+
+
+def write_warc_gz(records: list[tuple[str, str, bytes]], path: str) -> None:
+    """[(url, warc_date, html)] → one .warc.gz file, one gzip member per
+    record (the Common Crawl layout; exercises multi-member gunzip)."""
+    with open(path, "wb") as f:
+        for url, date, html in records:
+            f.write(gzip.compress(warc_record_bytes(url, date, html)))
+
+
+def warc_fixture_dir(
+    spark: SparkSession, sf_dir: str, mod: int = 10, files: int = 4
+) -> str:
+    """Deterministic WARC round-trip fixture: serialize the pages-corpus
+    subset ``fetch_seq % mod == 0`` into ``files`` gzipped WARCs (cached
+    per sf_dir) and return the directory. The ingest query reads these
+    back and must reproduce the source rows byte-for-byte."""
+    from .pages import PAGES_VERSION, pages_df
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/wc_warc_fixture_v{PAGES_VERSION}_{tag}_m{mod}"
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(path, exist_ok=True)
+        from pyspark.sql import functions as F
+
+        rows = (
+            pages_df(spark, sf_dir)
+            .filter(F.col("fetch_seq") % mod == 0)
+            .select("url", "fetch_seq", "text")
+            .collect()
+        )
+        buckets: list[list[tuple[str, str, bytes]]] = [[] for _ in range(files)]
+        for r in rows:
+            date = f"2024-01-01T00:00:{r.fetch_seq % 60:02d}Z"
+            buckets[r.fetch_seq % files].append(
+                (r.url, date, r.text.encode("utf-8"))
+            )
+        for i, bucket in enumerate(buckets):
+            if bucket:
+                write_warc_gz(bucket, os.path.join(path, f"part-{i:02d}.warc.gz"))
+        with open(done, "w") as f:
+            f.write("ok")
+    return path

@@ -68,6 +68,34 @@ def heartbeat_stream(pages: DataFrame, window: str = "10 seconds") -> DataFrame:
     )
 
 
+def make_rollup_sink(table: TableIO):
+    """foreachBatch sink: per-batch match_rollup snapshot-appended under
+    the batch_id key — IDEMPOTENT under replay. foreachBatch is
+    at-least-once: a batch replayed after a crash between the TableIO
+    commit and the streaming checkpoint commit re-invokes the sink with
+    the same batch_id. Mirroring CrawlEngine._drop_orphans, a replay
+    first compacts away any rows the crashed attempt appended for
+    batch_ids >= this one, so the append lands exactly once."""
+    from ..operators.rollup import match_rollup
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if table.exists() and int(table.meta().get("batch_id", -1)) >= batch_id:
+            try:
+                kept = table.read(batch_df.sparkSession).filter(
+                    F.col("batch_id") < batch_id
+                )
+                table.write(kept, mode="overwrite", meta={"batch_id": batch_id - 1})
+            except FileNotFoundError:  # truncated table: nothing to drop
+                pass
+        rolled = match_rollup(
+            batch_df.withColumn("fetch_seq", F.unix_timestamp("warc_ts")),
+            order_col="fetch_seq",
+        ).withColumn("batch_id", F.lit(batch_id))
+        table.write(rolled, mode="append", meta={"batch_id": batch_id})
+
+    return sink
+
+
 def run_match_pipeline(
     spark: SparkSession,
     source_dir: str,
@@ -80,18 +108,10 @@ def run_match_pipeline(
     ``available_now=True`` drains everything currently in the source and
     stops (the test/backfill mode); False runs continuously.
     """
-    from ..operators.rollup import match_rollup
-
     table = TableIO(workdir)
     pages = read_pages_stream(spark, source_dir)
     hits = matches_stream(pages)
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        rolled = match_rollup(
-            batch_df.withColumn("fetch_seq", F.unix_timestamp("warc_ts")),
-            order_col="fetch_seq",
-        ).withColumn("batch_id", F.lit(batch_id))
-        table.write(rolled, mode="append", meta={"batch_id": batch_id})
+    sink = make_rollup_sink(table)
 
     writer = (
         hits.writeStream.foreachBatch(sink)
