@@ -87,7 +87,9 @@ def main() -> None:
     # -- frontier dequeue rate (the second BASELINE.json headline) --------
     from warcannon_spark.plans import frontier as FR
 
-    urls = spark.range(1_000_000).select(
+    urls = spark.range(
+        int(os.environ.get("BENCH_FRONTIER_URLS", "4000000"))
+    ).select(
         F.concat(
             F.lit("https://h"),
             F.when(F.col("id") % 3 == 0, F.lit(0))

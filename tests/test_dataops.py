@@ -162,3 +162,48 @@ def test_minhash_param_scaling_keeps_exact_dupes(spark):
         for i, u in pairs.values():  # verify stage: only true near-dups
             assert i * 5 >= u * 3
         assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_embedding_lsh_finds_planted_near_dups(spark):
+    """Hyperplane-LSH near-dup path: planted pairs at cosine >= 0.97 must
+    all be found (collision prob ~1-4e-5 per pair at these parameters);
+    every reported pair must verify >= threshold; unrelated random pairs
+    must not appear."""
+    import numpy as np
+
+    from warcannon_spark.operators.similarity import (
+        embedding_cosine_pairs,
+        embedding_lsh_pairs,
+    )
+
+    rs = np.random.RandomState(123)
+    rows = []
+    vid = 0
+    planted = []
+    for g in range(10):  # 10 near-dup pairs
+        base = rs.standard_normal(64)
+        base /= np.linalg.norm(base)
+        noisy = base + rs.standard_normal(64) * 0.05
+        noisy /= np.linalg.norm(noisy)
+        rows.append((vid, [float(x) for x in base]))
+        rows.append((vid + 1, [float(x) for x in noisy]))
+        planted.append((vid, vid + 1))
+        vid += 2
+    for _ in range(200):  # noise floor
+        v = rs.standard_normal(64)
+        rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in embedding_lsh_pairs(emb, threshold=0.9).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in embedding_cosine_pairs(emb, threshold=0.9, id_mod=None).collect()
+    }
+    for p in planted:
+        assert p in exact  # cosine(base, base+0.05*noise) ~ 0.999
+        assert p in got, f"LSH missed planted pair {p}"
+    assert got <= exact  # exact verify: no false positives

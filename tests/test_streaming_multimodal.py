@@ -140,3 +140,82 @@ def test_rollup_sink_replay_is_idempotent(spark, tmp_path):
     assert replayed == once
     n_b1 = table.read(spark).filter(F.col("batch_id") == 1).count()
     assert n_b1 == table.read(spark).filter(F.col("batch_id") == 0).count() == 2
+
+
+def test_stateful_streaming_seen_filter_and_progress(spark, tmp_path):
+    """applyInPandasWithState operators: the streaming URL-seen filter
+    must emit each url_hash exactly once ACROSS micro-batches (state
+    persists), and the per-host progress counters must accumulate."""
+    from warcannon_spark.streaming.pipeline import read_pages_stream
+    from warcannon_spark.streaming.state import (
+        host_progress_stream,
+        seen_filter_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def page(url, ts, text):
+        return json.dumps({"url": url, "warc_ts": ts, "text": text, "lang": "en"})
+
+    (src / "f0.json").write_text(
+        "\n".join(
+            [
+                page("https://h1.example/a", "2024-01-01T00:00:00Z", "aaaa"),
+                page("https://h1.example/b", "2024-01-01T00:00:01Z", "bb"),
+            ]
+        )
+    )
+    (src / "f1.json").write_text(
+        "\n".join(
+            [
+                page("https://h1.example/b", "2024-01-01T00:00:02Z", "bb"),
+                page("https://h1.example/c", "2024-01-01T00:00:03Z", "c"),
+                page("https://h2.example/d", "2024-01-01T00:00:04Z", "dddddd"),
+            ]
+        )
+    )
+
+    # one file per micro-batch so state must carry across batches
+    pages = read_pages_stream(spark, str(src), max_files_per_trigger=1)
+    cand = pages.select("url", F.xxhash64("url").alias("url_hash"))
+    novel_rows = []
+    q = (
+        seen_filter_stream(cand, shards=4)
+        .writeStream.foreachBatch(lambda df, bid: novel_rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "cp_seen"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    urls = [r.url for r in novel_rows]
+    assert len(urls) == len(set(urls)), f"duplicate emission: {urls}"
+    assert set(urls) == {
+        "https://h1.example/a",
+        "https://h1.example/b",
+        "https://h1.example/c",
+        "https://h2.example/d",
+    }
+
+    pages2 = read_pages_stream(spark, str(src), max_files_per_trigger=1)
+    with_host = pages2.withColumn(
+        "host", F.regexp_extract("url", r"https://([^/]+)/", 1)
+    )
+    prog_rows = []
+    q2 = (
+        host_progress_stream(with_host)
+        .writeStream.foreachBatch(lambda df, bid: prog_rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "cp_prog"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    final = {}
+    for r in prog_rows:  # last update per host wins
+        final[r.host] = r
+    assert final["h1.example"].pages == 4  # counts every fetch, dups included
+    assert final["h1.example"].bytes == len("aaaa") + 2 * len("bb") + len("c")
+    assert final["h2.example"].pages == 1
+    assert final["h1.example"].first_us < final["h1.example"].last_us

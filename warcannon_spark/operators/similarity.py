@@ -186,6 +186,107 @@ def ivf_trained_topk(
     )
 
 
+def embedding_cosine_pairs(
+    emb: DataFrame, threshold: float = 0.35, id_mod: int | None = 5
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, EXACT: all (a < b) pairs with
+    cosine ≥ threshold. This is the oracle/recall baseline — an O(n²)
+    self-join restricted to the deterministic ``vec_id % id_mod == 0``
+    subset; the scale path is ``embedding_lsh_pairs``. Output
+    (doc_a, doc_b)."""
+    base = with_norm(emb)
+    if id_mod is not None:
+        base = base.filter(F.col("vec_id") % id_mod == 0)
+    a = base.select(
+        F.col("vec_id").alias("doc_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col("vec_id").alias("doc_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(cos >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
+EMB_LSH_PLANES = 60  # stay positive in a signed 64-bit signature
+
+
+def _hyperplane_signature(n_planes: int, seed: int):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    def sig(embs):
+        arr = np.stack(embs.to_numpy())
+        rs = np.random.RandomState(seed)
+        planes = rs.standard_normal((n_planes, arr.shape[1]))
+        bits = (arr @ planes.T) > 0  # (n, planes)
+        weights = (1 << np.arange(n_planes, dtype=np.uint64)).astype(np.uint64)
+        out = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+        return pd.Series(out)
+
+    return F.pandas_udf(sig, LongType())
+
+
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = EMB_LSH_PLANES,
+    band_size: int = 6,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-dup pairs at SCALE: random-hyperplane (SimHash) LSH
+    — signature = sign bits of ``n_planes`` seeded Gaussian projections
+    (one Arrow-batched matmul, no per-row Python), banded bucket
+    equi-join for candidates, exact-cosine verify (native expressions)
+    only on candidates. Collision math: P[bit agrees] = 1 − θ/π, so a
+    cosine-0.9 pair (θ≈26°) collides on a 6-bit band w.p. ≈ 0.63 and is
+    caught by ≥1 of the 10 bands w.p. ≈ 1 − (1−0.63)¹⁰ ≈ 99.995%; truly
+    random pairs land in a shared bucket w.p. ≈ 1%. Probabilistic recall
+    (unlike the pigeonhole-exact text SimHash banding) — pinned by a
+    planted-near-dup test. Output (doc_a, doc_b)."""
+    base = with_norm(emb).withColumn(
+        "sig", _hyperplane_signature(n_planes, seed)(F.col("e"))
+    )
+    n_bands = n_planes // band_size
+    mask = (1 << band_size) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.shiftright(F.col("sig"), b * band_size)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_val"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = base.select(
+        F.col("vec_id"), F.explode(F.array(*band_structs)).alias("bk")
+    ).select("vec_id", "bk.band", "bk.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
+        .distinct()
+    )
+    va = base.select(F.col("vec_id").alias("doc_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    vb = base.select(F.col("vec_id").alias("doc_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .filter(cos >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
 def sign_bucket(emb_col: Column) -> Column:
     """2-bit sign coarse quantizer over the first two dimensions."""
     return (

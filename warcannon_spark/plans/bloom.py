@@ -172,7 +172,13 @@ def probe_bloom(
     each filter crosses once per (partition, task) and the bit tests run
     numpy-vectorized over the whole candidate group. Candidates whose
     partition has no filter row (empty seen-set partition) get
-    maybe_seen=false."""
+    maybe_seen=false.
+
+    Memory note: cogroup materializes one pid's candidate group as a
+    single pandas frame (~|candidates|/P rows of key bytes). P auto-
+    scales with the SEEN key count; if a round can discover far more
+    candidates than TARGET_KEYS_PER_PARTITION × P, raise num_partitions
+    at build time — probe partitioning always follows the build."""
     out_schema = StructType(
         list(candidates.schema.fields) + [StructField("maybe_seen", BooleanType())]
     )

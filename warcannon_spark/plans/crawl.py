@@ -5,9 +5,10 @@ together with snapshot checkpoint/resume.
 One round =
   dequeue (politeness windows W1-W3, salted)                 [frontier]
   → robots gate (J4)                                          [robots]
-  → fetch-sim: equi-join the leased batch against the pages corpus on
-    canon_url (the sandbox stand-in for the HTTP fetch; on a real crawl
-    this stage is the S3/WARC reader)                         [pages]
+  → fetch-sim: pages ⋈ broadcast(leased batch) on canon_url — the
+    BOUNDED batch is the build side, the corpus streams exchange-free
+    (the sandbox stand-in for the HTTP fetch; on a real crawl this
+    stage is the S3/WARC reader, sources/warc.py)             [pages]
   → fused matcher (X1) + rollup-ready hits                    [matches]
   → link discovery: native regexp_extract_all over fetched html/text,
     canonicalize, two-phase novel check (Bloom + exact anti-join J3)

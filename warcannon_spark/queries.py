@@ -748,6 +748,26 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("qid", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
+@_q(
+    "dedup_embedding_cosine",
+    """WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  WHERE vec_id % 5 = 0)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35""",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline on the vec_id%5
+    subset; the LSH-bucketed scale path is embedding_lsh_pairs, pinned
+    by a planted-near-dup test)."""
+    from .operators.similarity import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, id_mod=5
+    )
+
+
 @_q("regex_cost_profile")  # rows-only: wall-clock telemetry is nondeterministic
 def q_regex_cost_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's regex cost profiler (parse_regex.js:50-63,171-184)

@@ -1,0 +1,126 @@
+"""Custom stateful streaming operators (SURVEY §2.10 upgrade;
+``applyInPandasWithState``).
+
+The reference keeps two pieces of mutable campaign state outside its
+workers: the URL-seen set (SQS dedup + DynamoDB) and per-host progress
+counters (warcannon.js:292-318 merge). The batch CrawlEngine carries
+those through snapshot tables; this module is the CONTINUOUS twin — a
+grouped-state operator that maintains them across micro-batches without
+re-reading any table:
+
+  * ``seen_filter_stream``  — streaming URL-seen dedup: per key-group
+    state holds the set of url_hashes already emitted; only first
+    sightings pass through (the streaming J3).
+  * ``host_progress_stream`` — per-host running counters (pages, bytes,
+    first/last event time): the streaming K3/K4 progress document.
+
+State is partitioned by the group key, so state size per task is
+O(keys/shards) and Spark's state store checkpoints it with the query —
+crash/restart resumes exactly (same guarantee the snapshot tables give
+the batch path). GroupStateTimeout is left off: the URL-seen set is
+intentionally unbounded (it IS the crawl's memory); a TTL variant would
+pass ``processingTimeTimeout`` and drop idle groups.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SEEN_OUT_SCHEMA = "url_hash long, url string"
+SEEN_STATE_SCHEMA = "hashes array<long>"
+
+PROGRESS_OUT_SCHEMA = (
+    "host string, pages long, bytes long, first_us long, last_us long"
+)
+PROGRESS_STATE_SCHEMA = "pages long, bytes long, first_us long, last_us long"
+
+
+def _seen_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    seen = set(state.get[0]) if state.exists else set()
+    for pdf in pdfs:
+        mask = []
+        for h in pdf["url_hash"]:
+            h = int(h)
+            if h in seen:
+                mask.append(False)
+            else:
+                seen.add(h)
+                mask.append(True)
+        out = pdf.loc[mask, ["url_hash", "url"]]
+        if len(out):
+            yield out
+    state.update((list(seen),))
+
+
+def seen_filter_stream(candidates: DataFrame, shards: int = 32) -> DataFrame:
+    """Streaming novel-URL filter: emits each url_hash exactly once
+    across the lifetime of the query. Grouping key = pmod(url_hash,
+    shards) so state shards across tasks like the batch Bloom's pid."""
+    keyed = candidates.withColumn(
+        "__shard", F.pmod(F.col("url_hash"), F.lit(shards)).cast("int")
+    )
+    return (
+        keyed.groupBy("__shard")
+        .applyInPandasWithState(
+            _seen_fn,
+            outputStructType=SEEN_OUT_SCHEMA,
+            stateStructType=SEEN_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _progress_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        pages, nbytes, first_us, last_us = state.get
+    else:
+        pages, nbytes, first_us, last_us = 0, 0, None, None
+    for pdf in pdfs:
+        pages += len(pdf)
+        nbytes += int(pdf["nbytes"].sum())
+        if len(pdf):
+            lo = int(pdf["us"].min())
+            hi = int(pdf["us"].max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+    state.update((pages, nbytes, first_us, last_us))
+    yield pd.DataFrame(
+        {
+            "host": [key[0]],
+            "pages": [pages],
+            "bytes": [nbytes],
+            "first_us": [first_us],
+            "last_us": [last_us],
+        }
+    )
+
+
+def host_progress_stream(pages: DataFrame) -> DataFrame:
+    """Running per-host progress counters (streaming progress document):
+    input needs (host, text, warc_ts); emits the updated totals for every
+    host touched by each micro-batch."""
+    prepared = pages.select(
+        "host",
+        F.octet_length("text").alias("nbytes"),
+        F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("us"),
+    )
+    return (
+        prepared.groupBy("host")
+        .applyInPandasWithState(
+            _progress_fn,
+            outputStructType=PROGRESS_OUT_SCHEMA,
+            stateStructType=PROGRESS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
