@@ -66,6 +66,26 @@ def quality_stats(docs: DataFrame) -> DataFrame:
     return out.withColumn("is_quality", is_q)
 
 
+# BPE-ish pre-tokenizer: GPT-2-style contraction/word/number/punct/space
+# alternation, restricted to constructs BOTH Java regex (Spark) and RE2
+# (DuckDB) support — no lookahead (RE2 has none), ASCII classes so \s
+# agrees. Alternation order matters (leftmost-first in both engines).
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Token counting two ways (training-data budgeting): whitespace
+    split and the BPE-ish pre-tokenizer above — both native expressions
+    (regexp_extract_all stays in codegen; no Python)."""
+    toks = F.split(F.col("text"), " ")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def fingerprints(docs: DataFrame, k: int = 4) -> DataFrame:
     """k-min-hash document fingerprint: the k smallest portable hashes of
     the distinct token set, comma-joined in ascending order. Window-bounded

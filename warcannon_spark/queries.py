@@ -748,6 +748,59 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("qid", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
+def _token_counts_oracle() -> str:
+    from .operators.textstats import BPE_TOKEN_RE
+
+    return f"""SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '{_sq(BPE_TOKEN_RE)}')) AS BIGINT) AS n_bpe_tokens
+FROM documents"""
+
+
+@_q("token_counts", _token_counts_oracle())
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for training-data budgeting: whitespace + BPE-ish
+    pre-tokenizer regex (both native; Java-regex/RE2-compatible pattern
+    so the oracle agrees match-for-match)."""
+    from .operators.textstats import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "multimodal_features",
+    """SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       CAST(strlen(text) AS BIGINT) AS byte_len,
+       sha256(text) AS sha256
+FROM documents""",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the DRIVER-CHECKED surface: documents
+    become opaque binary blobs (the sandbox media stand-in), flow through
+    the real mapInPandas feature kernel, and the kernel's byte-domain
+    outputs (length + sha256, computed IN the Python worker) must
+    hash-match the oracle recomputing them from the source — proving the
+    Arrow binary round-trip is byte-exact. Decode-derived outputs
+    (width/height/feat) stay pytest-pinned (codec kernels are stubbed —
+    no image libs in sandbox)."""
+    from .operators.multimodal import extract_media_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("kind"),
+        F.encode("text", "UTF-8").alias("blob"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+    feats = extract_media_features(media, deterministic_fake=True)
+    return feats.select(
+        "media_id", "kind", F.col("byte_len").cast("long").alias("byte_len"), "sha256"
+    )
+
+
 @_q(
     "dedup_embedding_cosine",
     """WITH e AS (
