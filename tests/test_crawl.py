@@ -246,3 +246,23 @@ def test_snapshot_rollback_isolation(spark, crawled):
     }
     total_frontier = eng.frontier().count()
     assert all(n <= total_frontier for n in per_round.values())
+
+
+def test_incremental_frontier_cache_matches_windowed_view(spark, tmp_path):
+    """Round-2 read-path optimization: a live engine resolves the
+    frontier via the incremental anti-join chain; a fresh engine over
+    the same workdir resolves via the windowed base∪log merge. Both
+    views must be IDENTICAL after every round, across a compaction
+    boundary (compact_every=3 forces one mid-run)."""
+    wd = tmp_path / "wd"
+    eng = make_engine(spark, wd, compact_every=3)
+    eng.seed(seeds(spark))
+    for rnd in range(5):
+        if eng.drained():
+            break
+        eng.run_round()
+        cached = sorted(map(tuple, eng.frontier().collect()))
+        fresh = make_engine(spark, wd, compact_every=3)
+        windowed = sorted(map(tuple, fresh.frontier().collect()))
+        assert cached == windowed, f"divergence after round {rnd + 1}"
+    assert eng.round_no >= 4  # compaction at round 3 was crossed

@@ -32,6 +32,17 @@ commit I/O is O(|touched|), not O(|frontier|) — a full-frontier rewrite
 per round would move the entire multi-TB table every few minutes. (On
 Iceberg, base and log are bucket-partitioned by url_hash so the merge
 window needs no shuffle; TableIO approximates with plain parquet.)
+
+READS are incremental too (round 2, VERDICT r1 design risk #6): a live
+engine keeps the resolved frontier cached and applies each committed
+delta as ``cached ⟕̸ delta (anti-join on url_hash) ∪ delta`` — a hash
+anti-join instead of a full sort+row_number window per round — with
+lineage + storage reset at every compaction (the cache is rebuilt from
+the freshly-written base). The cache is pure derived state: it is only
+installed AFTER the log append commits, and any fresh/crashed engine
+falls back to the windowed base∪log resolution, so crash/resume
+semantics are unchanged (pinned by the cached≡uncached and resume
+tests).
 """
 
 from __future__ import annotations
@@ -112,6 +123,8 @@ class CrawlEngine:
         self.t_flog = TableIO(os.path.join(workdir, "frontier_log"))
         self.t_matches = TableIO(os.path.join(workdir, "matches"))
         self.t_metrics = TableIO(os.path.join(workdir, "metrics"))
+        # incrementally-maintained resolved frontier (see module docstring)
+        self._resolved: DataFrame | None = None
 
     # -- state --------------------------------------------------------------
     @property
@@ -135,11 +148,20 @@ class CrawlEngine:
             .drop("__rn")
         )
         self.t_frontier.write(deduped, mode="overwrite", meta={"round": 0})
+        # a freshly-seeded base is resolved by construction
+        self._resolved = self.t_frontier.read(self.spark)
 
     def frontier(self) -> DataFrame:
         """Current frontier state: base ∪ committed log deltas, latest
-        updated_round wins per url_hash. Log rows beyond the committed
-        round cannot exist (the log append IS the commit)."""
+        updated_round wins per url_hash. A live engine answers from the
+        incrementally-maintained resolved view (≤ compact_every hash
+        anti-joins over a plain base read — no per-round sort window);
+        a fresh/resumed engine falls back to the windowed merge once,
+        until its first commit or compaction re-anchors the chain. Log
+        rows beyond the committed round cannot exist (the log append IS
+        the commit)."""
+        if self._resolved is not None:
+            return self._resolved
         base = self.t_frontier.read(self.spark)
         if not self.t_flog.exists() or not self.t_flog.meta():
             return base
@@ -156,20 +178,38 @@ class CrawlEngine:
         )
 
     def _commit_delta(self, delta: DataFrame, rnd: int) -> None:
-        """Append the round's touched rows; this snapshot IS the ack."""
+        """Append the round's touched rows; this snapshot IS the ack.
+        Afterwards advance the resolved cache incrementally: the delta is
+        read BACK from the committed dir (no recompute, all inputs on
+        disk) and applied as anti-join ∪ delta. The chain is bounded —
+        at most compact_every hops before compaction re-anchors it on a
+        plain base read."""
+        prev = self.frontier()  # captured BEFORE the append (reads are
+        # manifest-pinned at construction, so the view is stable)
         self.t_flog.write(delta, mode="append", meta={"round": rnd})
+        # ALWAYS advance the chain before a possible compaction — compact
+        # folds self.frontier(), which must already include this delta.
+        committed = self.t_flog.read_last_dir(self.spark)
+        # (string-key joins move the key column first — restore schema order)
+        self._resolved = (
+            prev.join(committed.select("url_hash"), "url_hash", "left_anti")
+            .unionByName(committed)
+            .select(*prev.columns)
+        )
         if self.t_flog.num_dirs() >= self.compact_every:
             self._compact(rnd)
 
     def _compact(self, rnd: int) -> None:
         """Fold the log into the base and reset the log. Idempotent under
         crashes: base and log both carry round=rnd metadata, and the
-        latest-wins merge tolerates rows existing in both."""
+        latest-wins merge tolerates rows existing in both. Re-anchors the
+        resolved cache on the freshly-written base (lineage reset)."""
         merged = self.frontier().persist()
         merged.count()
         self.t_frontier.write(merged, mode="overwrite", meta={"round": rnd})
         self.t_flog.truncate(meta={"round": rnd})
         merged.unpersist()
+        self._resolved = self.t_frontier.read(self.spark)
 
     def matches(self) -> DataFrame:
         """Committed matches only. The frontier snapshot's round counter is

@@ -108,6 +108,20 @@ class TableIO:
         dirs = self._manifest(prev)["dirs"] if prev is not None else []
         return self._commit(dirs, meta)
 
+    def read_last_dir(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """Read ONLY the newest data dir of a snapshot — the rows the
+        latest append added (incremental readers apply just the delta
+        instead of re-reading the table)."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"table {self.root} has no snapshots")
+        dirs = self._manifest(v)["dirs"]
+        if not dirs:
+            raise FileNotFoundError(f"table {self.root} v{v} is empty")
+        return spark.read.parquet(dirs[-1])
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         v = self.latest_version() if version is None else version
         if v is None:
