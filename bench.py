@@ -112,6 +112,38 @@ def main() -> None:
     extras["dequeue_spread"] = round(spread, 3)
     fr.unpersist()
 
+    # -- end-to-end crawl rounds (the north-star loop: dequeue → robots →
+    #    fetch-join → match → link-discovery → bloom novel check → commit)
+    import shutil
+    import tempfile
+
+    from warcannon_spark.plans.crawl import CrawlEngine
+
+    crawl_wd = tempfile.mkdtemp(prefix="wc_bench_crawl_")
+    try:
+        # budget 4000 × 37 hosts ⇒ ~148k urls per round, and every host
+        # stays non-empty through the warm + 2 timed rounds (smallest
+        # hosts hold ~14.5k pages) — each timed round is a FULL batch.
+        eng = CrawlEngine(
+            spark,
+            crawl_wd,
+            pages=bench_pages.select("url", "text"),
+            robots=None,
+            budget_per_host=int(os.environ.get("BENCH_CRAWL_BUDGET", "4000")),
+            num_partitions=64,
+        )
+        eng.seed(bench_pages.select("url"))
+        eng.run_round()  # warm (workers, codegen, first bloom build)
+        t0 = time.time()
+        stats = [eng.run_round() for _ in range(2)]
+        dt = time.time() - t0
+        crawled = sum(s["dequeued"] for s in stats)
+        timings["crawl_rounds"] = round(dt, 3)
+        extras["crawl_urls_per_sec"] = round(crawled / dt, 1)
+        extras["crawl_matches"] = sum(s["matches"] for s in stats)
+    finally:
+        shutil.rmtree(crawl_wd, ignore_errors=True)
+
     # -- per-query headline set (same entries the driver oracle-checks) ---
     for name in [
         "match_rollup",

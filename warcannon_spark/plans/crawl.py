@@ -101,6 +101,7 @@ class CrawlEngine:
         use_bloom: bool = True,
         discover_links: bool = True,
         compact_every: int = 8,
+        bloom_min_candidates: int = 5000,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -119,6 +120,7 @@ class CrawlEngine:
         self.use_bloom = use_bloom
         self.discover_links = discover_links
         self.compact_every = compact_every
+        self.bloom_min_candidates = bloom_min_candidates
         self.t_frontier = TableIO(os.path.join(workdir, "frontier"))
         self.t_flog = TableIO(os.path.join(workdir, "frontier_log"))
         self.t_matches = TableIO(os.path.join(workdir, "matches"))
@@ -261,7 +263,8 @@ class CrawlEngine:
         got, missed = fetch_join(self.pages, allowed)
         got = got.persist()
 
-        # matcher over fetched pages (flagship operator).
+        # matcher over fetched pages (flagship operator). Persisted: the
+        # hit stream feeds both the matches commit and the metrics join.
         hits = match_hits(
             got.select(
                 F.col("canon_url").alias("url"),
@@ -270,7 +273,7 @@ class CrawlEngine:
                 "text",
             ),
             passthrough=["partition_id", "host_rank"],
-        )
+        ).persist()
         n_matches = self.t_matches_append(hits, rnd)
 
         # link discovery → novel URLs → new pending rows.
@@ -287,16 +290,23 @@ class CrawlEngine:
             )
             cand = FR.frontier_rows(
                 links, round_no=rnd, num_partitions=self.P
-            )
+            ).persist()
             seen = frontier.select("url_hash")
+            # The Bloom fast path pays for itself only when the candidate
+            # set is large (its build scans the whole seen-set each
+            # round); for small discovery batches the exact anti-join is
+            # strictly cheaper. cand is persisted, so this count is the
+            # same job the discovered-counter needs anyway.
+            n_cand = cand.count()
             bloom = (
                 build_bloom(seen, num_partitions=self.P)
-                if self.use_bloom
+                if self.use_bloom and n_cand >= self.bloom_min_candidates
                 else None
             )
             novel = novel_urls(cand, seen, bloom).dropDuplicates(["url_hash"])
             new_rows = novel.persist()
             discovered = new_rows.count()
+            cand.unpersist()
 
         # round delta: replacement rows for touched URLs + discoveries —
         # NO frontier-wide join/rewrite (see module docstring).
@@ -351,7 +361,7 @@ class CrawlEngine:
         dequeued = batch.count()
         self._commit_delta(delta, rnd)
 
-        for df in (frontier, batch, got):
+        for df in (frontier, batch, got, hits):
             df.unpersist()
         if new_rows is not None:
             new_rows.unpersist()
