@@ -138,3 +138,40 @@ def test_crawl_engine_over_warc_corpus(spark, tmp_path):
     assert fr.filter(F.col("status") == "done").count() >= 6
     matches = eng.matches()
     assert matches.filter(F.col("pattern") == "access_key_id").count() > 0
+
+
+def test_warc_record_roundtrip_property():
+    """Property: serialize→parse is the identity for arbitrary payload
+    bytes — including payloads that CONTAIN record magic ('WARC/') or
+    header terminators (CRLFCRLF), which the Content-Length-delimited
+    block parsing must treat as opaque."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from warcannon_spark.sources.warc import (
+        http_payload,
+        iter_warc_records,
+        warc_record_bytes,
+    )
+
+    adversarial = st.sampled_from(
+        [b"WARC/1.0\r\n", b"\r\n\r\n", b"Content-Length: 0\r\n", b"\x00\xff"]
+    )
+    blob = st.one_of(st.binary(min_size=0, max_size=200), adversarial)
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.lists(blob, min_size=1, max_size=6))
+    def roundtrip(blobs):
+        records = [
+            (f"https://h.example/{i}", "2024-01-01T00:00:00Z", b)
+            for i, b in enumerate(blobs)
+        ]
+        data = b"".join(warc_record_bytes(u, d, h) for u, d, h in records)
+        parsed = [
+            (f["warc-target-uri"], http_payload(body))
+            for f, body in iter_warc_records(data)
+            if f.get("warc-type") == "response"
+        ]
+        assert parsed == [(u, h) for u, _, h in records]
+
+    roundtrip()
