@@ -181,6 +181,59 @@ def q_index_rollup_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "streaming_match_rollup",
+    f"""WITH {_HITS_CTE}
+SELECT pattern, value, domain, count(*) AS hit_count
+FROM nhits WHERE fetch_seq % 5 = 0
+GROUP BY pattern, value, domain""",
+)
+def q_streaming_match_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING engine under the oracle gate: a corpus subset is
+    dropped as JSON files, drained through the Structured Streaming
+    pipeline (file source → fused matcher → replay-idempotent
+    foreachBatch rollup snapshots, availableNow), and the committed
+    rollup table's per-(pattern, value, domain) totals must hash-match
+    the batch SQL oracle — totals are invariant to micro-batch split,
+    so the comparison is deterministic. Re-invocation is idempotent:
+    the checkpoint already covers every file, so the table is unchanged.
+    """
+    import os as _os
+
+    from .sources.pages import PAGES_VERSION
+    from .sources.tableio import TableIO
+    from .streaming.pipeline import run_match_pipeline
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    root = f"/tmp/wc_stream_q_v{PAGES_VERSION}_{tag}"
+    src = f"{root}/src"
+    if not _os.path.exists(f"{root}/_SRC_DONE"):
+        subset = pages_df(spark, sf_dir).filter(F.col("fetch_seq") % 5 == 0)
+        (
+            subset.select(
+                "url",
+                F.timestamp_seconds(
+                    F.lit(1704067200) + F.col("fetch_seq")
+                ).alias("warc_ts"),
+                "text",
+                F.lit("en").alias("lang"),
+            )
+            .coalesce(4)
+            .write.mode("overwrite")
+            .json(src)
+        )
+        with open(f"{root}/_SRC_DONE", "w") as f:
+            f.write("ok")
+    run_match_pipeline(
+        spark, src, f"{root}/rollups", checkpoint_dir=f"{root}/ckpt",
+        available_now=True,
+    )
+    rolled = TableIO(f"{root}/rollups").read(spark)
+    return rolled.groupBy("pattern", "value", "domain").agg(
+        F.sum("hit_count").alias("hit_count")
+    )
+
+
+@_q(
     "warc_ingest",
     f"""WITH {PAGES_CTE}
 SELECT url, md5(text) AS text_md5 FROM pages WHERE fetch_seq % 10 = 0""",
