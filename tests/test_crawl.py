@@ -266,3 +266,47 @@ def test_incremental_frontier_cache_matches_windowed_view(spark, tmp_path):
         windowed = sorted(map(tuple, fresh.frontier().collect()))
         assert cached == windowed, f"divergence after round {rnd + 1}"
     assert eng.round_no >= 4  # compaction at round 3 was crossed
+
+
+def test_duplicate_corpus_urls_keep_frontier_unique(spark, tmp_path):
+    """ADVICE r2: a corpus with DUPLICATE urls makes fetch_join yield
+    multiple got rows per batch url_hash; without outcome dedup the
+    committed delta carries duplicate url_hash rows, the incremental
+    cache unions both, and compaction bakes them into the base. The
+    frontier must stay unique per url_hash through rounds AND a
+    compaction, with cached ≡ windowed resolution."""
+    dup_corpus = corpus(spark)
+    dup_corpus = dup_corpus.unionByName(
+        dup_corpus.filter(F.col("url").contains("h0.example"))
+    )  # every hub url now appears twice in the corpus
+    wd = tmp_path / "wd"
+    eng = CrawlEngine(
+        spark,
+        str(wd),
+        pages=dup_corpus,
+        robots=robots(spark),
+        budget_per_host=4,
+        num_partitions=8,
+        compact_every=2,  # force a compaction inside the loop
+    )
+    eng.seed(seeds(spark))
+    for rnd in range(4):
+        if eng.drained():
+            break
+        eng.run_round()
+        resolved = eng.frontier()
+        n_rows = resolved.count()
+        n_keys = resolved.select("url_hash").distinct().count()
+        assert n_rows == n_keys, f"duplicate url_hash rows after round {rnd + 1}"
+        fresh = CrawlEngine(
+            spark,
+            str(wd),
+            pages=dup_corpus,
+            robots=robots(spark),
+            budget_per_host=4,
+            num_partitions=8,
+            compact_every=2,
+        )
+        windowed = sorted(map(tuple, fresh.frontier().collect()))
+        assert sorted(map(tuple, resolved.collect())) == windowed
+    assert eng.round_no >= 2  # at least one compaction boundary crossed

@@ -138,8 +138,11 @@ def test_banded_pairs_complete_at_hamming_4_to_6(spark):
 def test_minhash_param_scaling_keeps_exact_dupes(spark):
     """num_perm/band_size are production knobs (recall = 1-(1-t^r)^b);
     identical shingle sets (jaccard 1.0) collide on every band at ANY
-    parameterization, so planted exact-dup pairs must be found by both
-    the oracle-pinned default and a wider production setting."""
+    parameterization, so planted exact-dup pairs must be found by the
+    honest 128-perm default, the narrow oracle setting, and a middle
+    width. Indivisible num_perm/band_size must be rejected loudly."""
+    import pytest
+
     from warcannon_spark.operators.dedup import minhash_lsh_pairs
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
@@ -151,7 +154,11 @@ def test_minhash_param_scaling_keeps_exact_dupes(spark):
         (5, "another unrelated document body for the corpus noise floor"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    for kwargs in ({}, {"num_perm": 32, "band_size": 4}):
+    for kwargs in (
+        {},  # the 128-perm honest default
+        {"num_perm": 16, "band_size": 4},  # the oracle setting
+        {"num_perm": 32, "band_size": 4},
+    ):
         pairs = {
             (r.doc_a, r.doc_b): (r.inter_cnt, r.union_cnt)
             for r in minhash_lsh_pairs(docs, **kwargs).collect()
@@ -162,6 +169,8 @@ def test_minhash_param_scaling_keeps_exact_dupes(spark):
         for i, u in pairs.values():  # verify stage: only true near-dups
             assert i * 5 >= u * 3
         assert (1, 4) not in pairs and (4, 5) not in pairs
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(docs, num_perm=10, band_size=4).collect()
 
 
 def test_embedding_lsh_finds_planted_near_dups(spark):

@@ -28,6 +28,26 @@ def test_canonicalize_cases():
         assert got[list(cases).index(inp)] == want, inp
 
 
+def test_canonicalize_under_copy_on_write():
+    """The kernel must survive pandas copy-on-write mode (the pandas-3
+    default): chained slice assignment silently no-ops under CoW, which
+    would break default-port stripping and query sorting (ADVICE r2)."""
+    cases = {
+        "HTTP://Example.COM:80/a#frag": "http://example.com/a",
+        "https://Example.com:443/": "https://example.com/",
+        "https://example.com/p?b=2&a=1": "https://example.com/p?a=1&b=2",
+        "https://example.com:8080/x": "https://example.com:8080/x",
+        "not-a-url": "not-a-url",
+    }
+    prev = pd.get_option("mode.copy_on_write")
+    pd.set_option("mode.copy_on_write", True)
+    try:
+        got = canonicalize_batch(pd.Series(list(cases), dtype=object))
+        assert list(got) == list(cases.values())
+    finally:
+        pd.set_option("mode.copy_on_write", prev)
+
+
 def test_canonicalize_idempotent():
     urls = pd.Series(
         [

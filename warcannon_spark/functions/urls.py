@@ -30,19 +30,24 @@ def canonicalize_batch(urls: pd.Series) -> pd.Series:
     parts = urls.str.extract(_URL_RE)
     scheme = parts["scheme"].str.lower()
     host = parts["host"].str.lower()
-    # strip default port for the scheme
+    # strip default port for the scheme (mask-based, not chained slice
+    # assignment — survives pandas copy-on-write mode, ADVICE r2)
     for sch, suffix in _DEFAULT_PORTS.items():
         sel = (scheme == sch) & host.str.endswith(suffix)
         if sel.any():
-            host[sel] = host[sel].str[: -len(suffix)]
+            host = host.mask(sel, host.str[: -len(suffix)])
     path = parts["path"].where(parts["path"] != "", "/")
     query = parts["query"]
     has_q = query.notna() & (query != "")
-    sorted_q = query.copy()
+    sorted_q = query
     if has_q.any():
-        sorted_q[has_q] = [
-            "&".join(sorted(q.split("&"))) for q in query[has_q]
-        ]
+        sorted_q = query.mask(
+            has_q,
+            pd.Series(
+                ["&".join(sorted(q.split("&"))) for q in query[has_q]],
+                index=query.index[has_q],
+            ),
+        )
     out = scheme + "://" + host + path
     out = out.where(~has_q, out + "?" + sorted_q)
     # rows that didn't parse (no scheme://) pass through unchanged — the

@@ -39,7 +39,11 @@ def _profile_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         texts = pdf["text"].astype(object)
         n_pages = len(texts)
-        n_bytes = int(texts.str.len().fillna(0).sum())
+        # real UTF-8 octet length — str.len() counts characters and would
+        # skew ns_per_mb on non-ASCII corpora (ADVICE r2)
+        n_bytes = sum(
+            len(t.encode("utf-8")) for t in texts if isinstance(t, str)
+        )
         for name, rx in compiled.items():
             t0 = time.perf_counter_ns()
             hits = 0

@@ -248,6 +248,7 @@ class CrawlEngine:
         # robots gate (J4): blocked rows become terminal outcomes. The
         # gate is a distributed DataFrame join (plans/robots.robots_gate);
         # rules are parsed once per engine and cached.
+        gated = None
         if self.robots is not None:
             if self._rules is None:
                 self._rules = robots_rules(self.robots).persist()
@@ -311,7 +312,19 @@ class CrawlEngine:
         # round delta: replacement rows for touched URLs + discoveries —
         # NO frontier-wide join/rewrite (see module docstring).
         batch_cols = [c for c in batch.columns if c != "host_rank"]
-        outcomes = got.select(*batch_cols, F.lit("done").alias("outcome")).unionByName(
+        # A corpus with duplicate urls yields multiple ``got`` rows per
+        # batch url_hash (fetch_join is an inner join). All their batch-
+        # side columns are identical (the batch is unique per url_hash),
+        # so dropDuplicates here is deterministic — and it is REQUIRED:
+        # a delta carrying the same url_hash twice would survive the
+        # latest-wins merge (row_number keeps one) but poison the
+        # incremental anti-join∪delta cache and get baked into the base
+        # at compaction, permanently breaking the frontier's
+        # unique-per-url_hash invariant (ADVICE r2).
+        done = got.select(
+            *batch_cols, F.lit("done").alias("outcome")
+        ).dropDuplicates(["url_hash"])
+        outcomes = done.unionByName(
             missed.select(*batch_cols, F.lit("miss").alias("outcome"))
         )
         if blocked is not None:
@@ -363,6 +376,8 @@ class CrawlEngine:
 
         for df in (frontier, batch, got, hits):
             df.unpersist()
+        if gated is not None:
+            gated.unpersist()
         if new_rows is not None:
             new_rows.unpersist()
         return {

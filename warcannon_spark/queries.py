@@ -594,7 +594,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
-    from .operators.dedup import BAND_SIZE, NUM_PERM
+    from .operators.dedup import ORACLE_BAND_SIZE, ORACLE_NUM_PERM
 
     h = h64_sql("CAST(seed AS VARCHAR) || '|' || shingle")
     return f"""
@@ -603,12 +603,12 @@ sh AS (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
   FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)
 ),
-seeds AS (SELECT unnest(range({NUM_PERM})) AS seed),
+seeds AS (SELECT unnest(range({ORACLE_NUM_PERM})) AS seed),
 sig AS (SELECT doc_id, seed, min({h}) AS sig FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
 bands AS (
-  SELECT doc_id, seed // {BAND_SIZE} AS band,
+  SELECT doc_id, seed // {ORACLE_BAND_SIZE} AS band,
          md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY seed)) AS band_key
-  FROM sig GROUP BY doc_id, seed // {BAND_SIZE}
+  FROM sig GROUP BY doc_id, seed // {ORACLE_BAND_SIZE}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -629,9 +629,16 @@ WHERE i.inter_cnt * 5 >= (za.n + zb.n - i.inter_cnt) * 3"""
 
 @_q("dedup_minhash_lsh", _minhash_oracle())
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import minhash_lsh_pairs
+    """Near-dup pipeline at the ORACLE parameterization (16 perms — the
+    DuckDB twin cross-joins seeds, so oracle cost scales with width); the
+    module default for bare calls is the honest 128-perm setting."""
+    from .operators.dedup import ORACLE_BAND_SIZE, ORACLE_NUM_PERM, minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_perm=ORACLE_NUM_PERM,
+        band_size=ORACLE_BAND_SIZE,
+    )
 
 
 def _simhash_cte() -> str:
