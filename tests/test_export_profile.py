@@ -9,34 +9,42 @@ from pyspark.sql import functions as F
 
 
 def test_results_json_matches_driver_fold(spark, sf_dir):
+    """The DISTRIBUTED export must reproduce the reference document shape
+    exactly: domain keys sit beside 'value' in each sha1 entry
+    (parse_regex.js:144-148), and the full envelope carries total_hits at
+    the root (warcannon.js:292-318) — compared as one nested object
+    against the driver-side fold."""
     from warcannon_spark.operators.matcher import match_hits
     from warcannon_spark.operators.rollup import (
         match_rollup,
         results_document,
+        results_document_json,
         results_json_per_pattern,
+        total_hits,
     )
     from warcannon_spark.sources.pages import pages_df
 
     hits = match_hits(pages_df(spark, sf_dir), passthrough=["fetch_seq"])
     roll = match_rollup(hits, order_col="fetch_seq").persist()
 
-    docs = {
-        r.pattern: json.loads(r.doc_json)
-        for r in results_json_per_pattern(roll).collect()
-    }
+    n_total = total_hits(hits).collect()[0][0]
     rows = [r.asDict() for r in roll.collect()]
-    ref = results_document(rows, total=0)["regex_hits"]
+    ref = results_document(rows, total=n_total)
 
-    assert set(docs) == set(ref)
-    for pattern, doc in docs.items():
-        assert set(doc) == set(ref[pattern])
-        for sha, ent in doc.items():
-            want = ref[pattern][sha]
-            assert ent["value"] == want["value"]
-            domains = ent["domains"]
-            assert set(domains) == set(want) - {"value"}
-            for domain, uris in domains.items():
-                assert uris == want[domain]
+    # per-pattern grain (the 100-TB export path)
+    per_pattern = results_json_per_pattern(roll).collect()
+    docs = {r.pattern: json.loads(r.doc_json) for r in per_pattern}
+    assert docs == ref["regex_hits"]  # full nested compare, ref shape
+    assert {r.pattern: r.pattern_hits for r in per_pattern} and sum(
+        r.pattern_hits for r in per_pattern
+    ) == n_total
+
+    # full-envelope grain: one document, byte-shape of the reference
+    envelope = json.loads(
+        results_document_json(roll).collect()[0].doc_json
+    )
+    assert envelope == ref
+    assert envelope["total_hits"] == n_total
     roll.unpersist()
 
 

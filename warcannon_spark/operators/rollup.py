@@ -100,20 +100,40 @@ def quick_results(hits: DataFrame, order_col: str = "fetch_seq") -> DataFrame:
 def results_json_per_pattern(rollup: DataFrame) -> DataFrame:
     """DISTRIBUTED export of the reference's nested results document
     (``regex_hits: {pattern → {sha1 → {value, domain → [uri×≤3]}}}``,
-    warcannon.js:292-318): one JSON document per PATTERN, assembled with
-    two nested map aggregations + ``to_json`` — no driver-side fold.
+    warcannon.js:292-318, entry shape parse_regex.js:144-148): one JSON
+    document per PATTERN — no driver-side fold. Output columns:
+    (pattern, pattern_hits, doc_json).
+
+    Each sha1 entry is SHAPE-COMPATIBLE with the reference: domain keys
+    sit as SIBLINGS of ``value`` inside the entry object
+    (``{"value": v, "d1.example": [uri,…], …}``), assembled by splicing
+    the ``to_json`` serializations of the value struct and the sorted
+    domain map — both halves escape through ``to_json``, so arbitrary
+    values/domains stay quote-safe.
 
     Grain rationale at 100 TB: the full document is unbounded (every
     unique secret), so the export grain is per-pattern rows written with
     ``df.write.json``; pattern counts are small and fixed, and each
     pattern's subtree aggregates in one reducer after the (pattern,
     sha1)-keyed pre-aggregation. ``results_document`` below remains the
-    driver-side FIXTURE path for byte-compatible small corpora only.
-    Maps are built from sorted entry lists so the JSON is deterministic."""
+    driver-side FIXTURE path for small corpora only. Maps are built from
+    sorted entry lists so the JSON is deterministic."""
     lvl1 = rollup.groupBy("pattern", "value_sha1", "value").agg(
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct("domain", "uris")))
-        ).alias("domains")
+        ).alias("domains"),
+        F.sum("hit_count").alias("sha1_hits"),
+    )
+    # reference entry = {"value": v, <domain>: [...], ...}: take the
+    # value-struct JSON minus its closing brace + the domains-map JSON
+    # minus its opening brace. The domains map is never empty (every
+    # sha1 group has ≥1 domain row).
+    value_json = F.to_json(F.struct("value"))
+    domains_json = F.to_json(F.col("domains"))
+    entry = F.concat(
+        F.substring(value_json, 1, F.length(value_json) - 1),
+        F.lit(","),
+        F.substring(domains_json, 2, F.length(domains_json) - 1),
     )
     # inner entries are serialized to JSON strings BEFORE the outer
     # collect so the outer array stays sortable (Spark cannot order
@@ -122,7 +142,8 @@ def results_json_per_pattern(rollup: DataFrame) -> DataFrame:
     with_entry = lvl1.select(
         "pattern",
         "value_sha1",
-        F.to_json(F.struct("value", "domains")).alias("entry_json"),
+        "sha1_hits",
+        entry.alias("entry_json"),
     )
     entries = F.array_sort(F.collect_list(F.struct("value_sha1", "entry_json")))
     doc = F.concat(
@@ -138,7 +159,39 @@ def results_json_per_pattern(rollup: DataFrame) -> DataFrame:
         ),
         F.lit("}"),
     )
-    return with_entry.groupBy("pattern").agg(doc.alias("doc_json"))
+    return with_entry.groupBy("pattern").agg(
+        F.sum("sha1_hits").alias("pattern_hits"), doc.alias("doc_json")
+    )
+
+
+def results_document_json(rollup: DataFrame) -> DataFrame:
+    """The FULL reference results document, assembled distributedly:
+    one row, one ``doc_json`` column holding
+    ``{"total_hits": N, "regex_hits": {pattern: {...}}}`` — drop-in
+    byte-shape-compatible with warcannon.js:292-318. total_hits is
+    derived from the rollup's hit_count sums (= surviving occurrence
+    count, parse_regex.js:140-141). The final fold touches ≤ |patterns|
+    pre-serialized rows (13 for the stock matcher config), so the
+    single-reducer stage is O(patterns), never O(secrets)."""
+    per_pattern = results_json_per_pattern(rollup)
+    entries = F.array_sort(F.collect_list(F.struct("pattern", "doc_json")))
+    return per_pattern.agg(
+        F.concat(
+            F.lit('{"total_hits":'),
+            F.coalesce(F.sum("pattern_hits"), F.lit(0)).cast("string"),
+            F.lit(',"regex_hits":{'),
+            F.array_join(
+                F.transform(
+                    entries,
+                    lambda s: F.concat(
+                        F.lit('"'), s["pattern"], F.lit('":'), s["doc_json"]
+                    ),
+                ),
+                ",",
+            ),
+            F.lit("}}"),
+        ).alias("doc_json")
+    )
 
 
 def export_results_json(rollup: DataFrame, path: str) -> None:
