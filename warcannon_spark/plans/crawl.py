@@ -62,28 +62,55 @@ from .robots import robots_gate, robots_rules
 LINK_RE = r'href="(https?://[^"]+)"'
 
 
-def fetch_join(pages: DataFrame, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+# Above this many leased rows the batch no longer broadcasts (a 10-byte-
+# hashed row map at 4M rows is already ~hundreds of MB built per executor,
+# and the driver must hold the collected build side): switch to a shuffled
+# hash join where STILL only the batch moves (see fetch_join).
+BROADCAST_CEILING_ROWS = 4_000_000
+
+
+def fetch_join(
+    pages: DataFrame,
+    batch: DataFrame,
+    batch_rows: int | None = None,
+    broadcast_ceiling_rows: int = BROADCAST_CEILING_ROWS,
+) -> tuple[DataFrame, DataFrame]:
     """The fetch-sim join, with the build side pinned to the BOUNDED batch.
 
-    ``got``    = pages ⋈ broadcast(batch) on canon_url (inner) — the corpus
-                 side streams through the broadcast-hash join probe with NO
-                 exchange and NO broadcast of corpus data; only the leased
-                 batch (≤ hosts × budget rows) is built/broadcast.
-    ``missed`` = batch ⟕̸ got on canon_url (left_anti) — both sides are
-                 batch-bounded, so the miss set never touches the corpus
-                 beyond the already-computed ``got``.
+    ``got``    = pages ⋈ batch on canon_url (inner), batch on the build
+                 side; ``missed`` = batch ⟕̸ got on canon_url (left_anti) —
+                 both sides of ``missed`` are batch-bounded, so the miss
+                 set never touches the corpus beyond the already-computed
+                 ``got``. ``got`` should be persisted by the caller:
+                 ``missed`` reuses it.
+
+    Two regimes by leased-batch size (round-2 VERDICT item 2):
+
+      * ``batch_rows ≤ broadcast_ceiling_rows`` (or unknown): broadcast
+        hash join — the corpus streams through the probe with NO exchange
+        and NO broadcast of corpus data; only the batch (≤ hosts × budget
+        rows) is built/broadcast.
+      * above the ceiling (10^7 hosts × budget ⇒ 10^8-row batches that
+        outgrow any broadcast threshold and the driver): SHUFFLE_HASH on
+        the batch side — the batch is built per-partition instead of
+        broadcast whole. On canon-url-BUCKETED corpus storage (the 100 TB
+        layout; `df.write.bucketBy(N, "url").saveAsTable(...)`) the scan's
+        bucket layout already satisfies the join distribution, so the
+        corpus side STAYS exchange-free and only the batch shuffles —
+        plan-asserted by tests/test_plans.py on a bucketed table. On
+        unbucketed storage Spark would shuffle both sides once (still no
+        driver ceiling).
 
     Scale property (asserted by tests/test_plans.py): a LeftOuter
     batch×corpus join would force Spark to build the CORPUS side
     (BuildRight under LeftOuter) — a multi-TB broadcast or, under AQE
     fallback, a full-corpus shuffle per crawl round at the 100 TB target.
-    This shape keeps the corpus scan exchange-free regardless of corpus
-    size. ``got`` should be persisted by the caller: ``missed`` reuses it.
+    Both regimes here keep corpus movement off the per-round cost.
     """
     corpus = pages.withColumnRenamed("url", "page_url")
-    got = corpus.join(
-        F.broadcast(batch), corpus.page_url == batch.canon_url, "inner"
-    )
+    over_ceiling = batch_rows is not None and batch_rows > broadcast_ceiling_rows
+    build = batch.hint("SHUFFLE_HASH") if over_ceiling else F.broadcast(batch)
+    got = corpus.join(build, corpus.page_url == batch.canon_url, "inner")
     missed = batch.join(got.select("canon_url"), "canon_url", "left_anti")
     return got, missed
 
@@ -102,6 +129,7 @@ class CrawlEngine:
         discover_links: bool = True,
         compact_every: int = 8,
         bloom_min_candidates: int = 5000,
+        broadcast_ceiling_rows: int = BROADCAST_CEILING_ROWS,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -121,6 +149,7 @@ class CrawlEngine:
         self.discover_links = discover_links
         self.compact_every = compact_every
         self.bloom_min_candidates = bloom_min_candidates
+        self.broadcast_ceiling_rows = broadcast_ceiling_rows
         self.t_frontier = TableIO(os.path.join(workdir, "frontier"))
         self.t_flog = TableIO(os.path.join(workdir, "frontier_log"))
         self.t_matches = TableIO(os.path.join(workdir, "matches"))
@@ -244,6 +273,9 @@ class CrawlEngine:
         batch = FR.politeness_dequeue(
             frontier, round_no=rnd, budget_per_host=self.budget
         ).persist()
+        # materializes the persisted batch once; also the regime switch
+        # input for fetch_join's broadcast ceiling.
+        dequeued = batch.count()
 
         # robots gate (J4): blocked rows become terminal outcomes. The
         # gate is a distributed DataFrame join (plans/robots.robots_gate);
@@ -261,7 +293,12 @@ class CrawlEngine:
         # fetch-sim: pages ⋈ broadcast(leased batch) — the batch (bounded
         # by hosts×budget) is the build side; the corpus scan streams with
         # no exchange (plan-asserted in tests/test_plans.py; see fetch_join).
-        got, missed = fetch_join(self.pages, allowed)
+        got, missed = fetch_join(
+            self.pages,
+            allowed,
+            batch_rows=dequeued,
+            broadcast_ceiling_rows=self.broadcast_ceiling_rows,
+        )
         got = got.persist()
 
         # matcher over fetched pages (flagship operator). Persisted: the
@@ -371,7 +408,6 @@ class CrawlEngine:
 
         # log-append commit == ack (LAST, after all derived tables landed;
         # a crash before this point replays the round idempotently).
-        dequeued = batch.count()
         self._commit_delta(delta, rnd)
 
         for df in (frontier, batch, got, hits):
