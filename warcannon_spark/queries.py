@@ -253,6 +253,44 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "streaming_warc_match_rollup",
+    f"""WITH {_HITS_CTE}
+SELECT pattern, value, domain, count(*) AS hit_count
+FROM nhits WHERE fetch_seq % 10 = 0
+GROUP BY pattern, value, domain""",
+)
+def q_streaming_warc_match_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE WARC ingest under the oracle gate (reference main.js:67-75
+    twin): gzipped WARC fixtures drain through the STREAMING binaryFile
+    source → constant-memory record splitter → fused matcher →
+    replay-idempotent rollup sink; committed per-(pattern, value, domain)
+    totals must hash-match the batch SQL oracle over the same corpus
+    subset (split-invariant totals, like streaming_match_rollup)."""
+    import os as _os
+
+    from .sources.pages import PAGES_VERSION
+    from .sources.tableio import TableIO
+    from .sources.warc import warc_fixture_dir
+    from .streaming.pipeline import run_match_pipeline
+
+    src = warc_fixture_dir(spark, sf_dir, mod=10)
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    root = f"/tmp/wc_warc_stream_q_v{PAGES_VERSION}_{tag}"
+    run_match_pipeline(
+        spark,
+        src,
+        f"{root}/rollups",
+        checkpoint_dir=f"{root}/ckpt",
+        available_now=True,
+        source_format="warc",
+    )
+    rolled = TableIO(f"{root}/rollups").read(spark)
+    return rolled.groupBy("pattern", "value", "domain").agg(
+        F.sum("hit_count").alias("hit_count")
+    )
+
+
 # =========================================================================
 # §B — frontier primitives as queries (SURVEY §2.5 J3/J4, §2.6 W1/W3)
 # =========================================================================

@@ -102,14 +102,24 @@ def run_match_pipeline(
     workdir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    source_format: str = "json",
 ):
     """Stream pages → matcher → per-batch rollup snapshot appends.
 
+    ``source_format``: "json" (page-row file drops) or "warc" (gzipped
+    ``.warc.gz`` drops through the constant-memory record splitter —
+    the reference's continuous S3 WARC pipe, main.js:67-75; both feed
+    the SAME matcher + sink).
     ``available_now=True`` drains everything currently in the source and
     stops (the test/backfill mode); False runs continuously.
     """
     table = TableIO(workdir)
-    pages = read_pages_stream(spark, source_dir)
+    if source_format == "warc":
+        from ..sources.warc import read_warc_pages_stream
+
+        pages = read_warc_pages_stream(spark, source_dir)
+    else:
+        pages = read_pages_stream(spark, source_dir)
     hits = matches_stream(pages)
     sink = make_rollup_sink(table)
 
