@@ -186,6 +186,27 @@ def test_match_rollup_stage1_is_hash_aggregate(spark, tmp_path):
     assert len(row) > 0
 
 
+def test_ccindex_query_prunes_partitions(spark, sf_dir):
+    """The ccindex catalog table (27-col reference DDL, MSCK-repaired)
+    must prune (crawl, subset) at the METADATA level: the example
+    campaign-scoping query's scan carries both predicates as
+    PartitionFilters, so a one-crawl query never touches other crawls'
+    files at the 100 TB index."""
+    from warcannon_spark.sources.ccindex import example_index_query
+
+    df = example_index_query(spark, sf_dir)
+    plan = plan_str(df, "formatted")
+    scan = subtree_of(plan_str(df), "Scan parquet")
+    assert "PartitionFilters" in plan
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "crawl" in pf and "subset" in pf, pf
+    assert "CC-MAIN-1" in pf and "warc" in pf, pf
+    # correctness: only h0.example / CC-MAIN-1 / warc rows counted
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r.num > 0 for r in rows)
+
+
 def test_dequeue_is_single_exchange_with_partial_window_group_limit(spark):
     """Round-2 dequeue: one politeness window, ONE exchange; skew is
     bounded map-side by the Partial WindowGroupLimit (each task forwards

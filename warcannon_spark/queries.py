@@ -386,6 +386,30 @@ def q_athena_csv_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fr.select("url", "host", "path")
 
 
+def _ccindex_oracle() -> str:
+    from .sources.ccindex import CCINDEX_CTE
+
+    return f"""WITH {PAGES_CTE}, {CCINDEX_CTE}
+SELECT warc_filename, count(url_path) AS num
+FROM ccindex
+WHERE subset = 'warc' AND url_host_registered_domain IN ('h0.example')
+  AND crawl = 'CC-MAIN-1'
+GROUP BY warc_filename"""
+
+
+@_q("ccindex_campaign_scope", _ccindex_oracle())
+def q_ccindex_campaign_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 at the reference's actual entry surface: the 27-column ccindex
+    DDL materialized as a Spark SQL catalog table (CREATE TABLE +
+    MSCK REPAIR, bin/warcannon.js:194,203-209), queried with the README's
+    campaign-scoping SQL (README.md:202-213). The (crawl, subset)
+    predicates prune partitions at the metadata level — plan-asserted in
+    tests/test_plans.py."""
+    from .sources.ccindex import example_index_query
+
+    return example_index_query(spark, sf_dir, domain="h0.example")
+
+
 @_q(
     "crawl_listing",
     f"""WITH {PAGES_CTE}
