@@ -1,12 +1,16 @@
 """Multimodal column handling: image/audio/video as opaque ``binary``
 columns with typed metadata, processed through ``mapInPandas``.
 
-The Spark-side plumbing (schemas, Arrow batch shape, partition sizing) is
-real and tested; the codec kernels are STUBBED because the sandbox ships
-no image/audio libraries. Each kernel routes through ``_decode_image``
-which raises ``NotImplementedError`` unless ``deterministic_fake=True``,
-in which case a seeded, content-derived fake is produced so the
-distributed plumbing is testable end-to-end.
+Codec surface (round-3; previously fully stubbed):
+  * IMAGE — three tiers: Pillow when installed (optional dependency,
+    detected at import → full JPEG/PNG/WebP/... coverage), a pure-stdlib
+    24-bit-BMP decoder always (real capability with zero dependencies —
+    tested in-sandbox), and the seeded deterministic fake for plumbing
+    tests. Anything else raises ``NotImplementedError`` loudly.
+  * AUDIO — RIFF/WAVE PCM decoding via the stdlib ``wave`` module
+    (sample rate / channels / duration / RMS features); non-WAV audio
+    stays byte-stats-only.
+  * VIDEO — frame-sampling PLAN only (container parsing needs codecs).
 
 Scale notes: mapInPandas streams Arrow batches — one media blob never
 needs to fit more than batch-size × blob bytes in the Python worker;
@@ -18,11 +22,22 @@ downstream joins against metadata/embedding tables co-locate.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
+try:  # optional dependency: full-format image decode when present
+    from PIL import Image as _PILImage
+
+    _HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    _HAS_PIL = False
 
 MEDIA_SCHEMA = "media_id long, kind string, blob binary, mime string"
 
@@ -32,24 +47,74 @@ FEATURE_SCHEMA = (
 )
 
 
-def _decode_image(blob: bytes, deterministic_fake: bool) -> tuple[int, int, np.ndarray]:
-    """Decode an image blob → (width, height, HxWx3 array).
+def _decode_bmp24(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-stdlib decoder for uncompressed 24-bit BMP (the one raster
+    format decodable without a codec library): BITMAPINFOHEADER, BGR
+    rows bottom-up, 4-byte row padding."""
+    if len(blob) < 54 or blob[:2] != b"BM":
+        raise ValueError("not a BMP blob")
+    data_off = struct.unpack_from("<I", blob, 10)[0]
+    w, h = struct.unpack_from("<ii", blob, 18)
+    planes, bpp = struct.unpack_from("<HH", blob, 26)
+    compression = struct.unpack_from("<I", blob, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        blob, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    px = rows[::-1] if flip else rows
+    return w, h, px[:, :, ::-1].copy()  # BGR → RGB
 
-    STUB: real decoding needs an image codec library not present in this
-    environment. The deterministic fake derives shape and pixels from the
-    blob digest so tests exercise the full distributed path with stable
-    outputs."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "image decoding requires an image codec library (not available "
-            "in this environment); pass deterministic_fake=True for the "
-            "plumbing-test path"
-        )
-    digest = hashlib.sha256(blob).digest()
-    w = 8 + digest[0] % 24
-    h = 8 + digest[1] % 24
-    rng = np.random.default_rng(int.from_bytes(digest[2:10], "big"))
-    return w, h, rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+def _decode_image(blob: bytes, deterministic_fake: bool) -> tuple[int, int, np.ndarray]:
+    """Decode an image blob → (width, height, HxWx3 uint8 array).
+
+    Tiers: deterministic fake (plumbing tests; shape and pixels derived
+    from the blob digest) → Pillow if installed → stdlib BMP decoder →
+    NotImplementedError naming the missing optional dependency."""
+    if deterministic_fake:
+        digest = hashlib.sha256(blob).digest()
+        w = 8 + digest[0] % 24
+        h = 8 + digest[1] % 24
+        rng = np.random.default_rng(int.from_bytes(digest[2:10], "big"))
+        return w, h, rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    if _HAS_PIL:
+        img = _PILImage.open(io.BytesIO(blob)).convert("RGB")
+        px = np.asarray(img, dtype=np.uint8)
+        return img.width, img.height, px
+    if blob[:2] == b"BM":
+        return _decode_bmp24(blob)
+    raise NotImplementedError(
+        "image codec library required for this format: install Pillow "
+        "(optional dependency, auto-detected at import) — only 24-bit BMP "
+        "decodes without it; or pass deterministic_fake=True for the "
+        "plumbing-test path"
+    )
+
+
+def _decode_wav(blob: bytes) -> list[float]:
+    """RIFF/WAVE PCM → [sample_rate, channels, duration_s, rms] via the
+    stdlib wave module (real audio capability, zero dependencies)."""
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        nch = w.getnchannels()
+        rate = w.getframerate()
+        nframes = w.getnframes()
+        width = w.getsampwidth()
+        frames = w.readframes(nframes)
+    if width == 2:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        samples = (
+            np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    else:
+        samples = np.zeros(0)
+    rms = float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0
+    duration = nframes / rate if rate else 0.0
+    return [float(rate), float(nch), float(duration), rms]
 
 
 def extract_media_features(
@@ -77,6 +142,21 @@ def extract_media_features(
                     feat = np.concatenate(
                         [mean, std, [w, h]]
                     ).astype(np.float32)[:feat_dim]
+                elif (
+                    r.kind == "audio"
+                    and blob[:4] == b"RIFF"
+                    and blob[8:12] == b"WAVE"
+                ):
+                    # corrupt WAV headers degrade to byte-stats instead of
+                    # failing the task — at 100 TB a poisoned blob must
+                    # not kill the stage (images stay strict: their
+                    # formats are caller-declared via kind/mime).
+                    try:
+                        feat = np.asarray(
+                            _decode_wav(blob), dtype=np.float32
+                        )[:feat_dim]
+                    except (wave.Error, EOFError, struct.error):
+                        feat = None
                 rows.append(
                     (
                         r.media_id,
