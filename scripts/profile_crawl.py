@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Per-stage crawl-round profile at bench scale: where does a round's
+wall-clock go? (VERDICT r2 item 10 feedback loop — run before and after
+round-loop optimizations.)"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+MULTIPLY = int(os.environ.get("BENCH_PAGE_MULTIPLY", "160"))
+REPEAT = int(os.environ.get("BENCH_TEXT_REPEAT", "12"))
+ROUNDS = int(os.environ.get("PROFILE_ROUNDS", "2"))
+
+
+def main() -> None:
+    from warcannon_spark.plans.crawl import CrawlEngine
+    from warcannon_spark.session import get_spark
+    from warcannon_spark.sources.pages import materialized_corpus
+
+    spark = get_spark(
+        app_name="crawl-profile",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS * 2, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = materialized_corpus(spark, SF_DIR, repeat=REPEAT, multiply=MULTIPLY)
+    bench_pages = spark.read.parquet(corpus)
+
+    wd = tempfile.mkdtemp(prefix="wc_profile_crawl_")
+    try:
+        eng = CrawlEngine(
+            spark,
+            wd,
+            pages=bench_pages.select("url", "text"),
+            robots=None,
+            budget_per_host=int(os.environ.get("BENCH_CRAWL_BUDGET", "4000")),
+            num_partitions=64,
+        )
+        eng.seed(bench_pages.select("url"))
+        warm = eng.run_round()
+        print("warm:", json.dumps(warm), json.dumps(eng.last_timings))
+        t0 = time.time()
+        for i in range(ROUNDS):
+            stats = eng.run_round()
+            print(f"round {i}:", json.dumps(stats))
+            print(f"  stages: {json.dumps(eng.last_timings)}")
+        dt = time.time() - t0
+        print(f"urls/s over {ROUNDS} timed rounds:",
+              round(ROUNDS * stats["dequeued"] / dt, 1))
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

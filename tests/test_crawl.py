@@ -268,6 +268,26 @@ def test_incremental_frontier_cache_matches_windowed_view(spark, tmp_path):
     assert eng.round_no >= 4  # compaction at round 3 was crossed
 
 
+def test_incremental_bloom_crawl_matches_exact(spark, tmp_path):
+    """The engine-maintained Bloom (built once, delta-OR'd every round)
+    must be indistinguishable from the pure exact anti-join: identical
+    final frontier. bloom_min_candidates=0 forces the Bloom path on
+    EVERY round, so a single missing key in the maintained filter set
+    (broken invariant) would surface as a duplicate frontier row or a
+    dropped discovery."""
+    eng_bloom = make_engine(
+        spark, tmp_path / "wb", use_bloom=True, bloom_min_candidates=0
+    )
+    eng_exact = make_engine(spark, tmp_path / "we", use_bloom=False)
+    for eng in (eng_bloom, eng_exact):
+        eng.seed(seeds(spark))
+        eng.run(max_rounds=20)
+    assert frontier_dump(eng_bloom) == frontier_dump(eng_exact)
+    # the maintained filter set exists, was extended, and tracks the keys
+    assert eng_bloom._bloom is not None
+    assert eng_bloom._bloom_keys == eng_bloom.frontier().count()
+
+
 def test_duplicate_corpus_urls_keep_frontier_unique(spark, tmp_path):
     """ADVICE r2: a corpus with DUPLICATE urls makes fetch_join yield
     multiple got rows per batch url_hash; without outcome dedup the

@@ -101,6 +101,36 @@ def test_bloom_spark_roundtrip(spark):
     assert got == want
 
 
+def test_or_into_bloom_no_false_negatives(spark):
+    """Incremental maintenance contract: after OR-ing a delta into a
+    built filter set, EVERY key from both generations probes maybe-seen
+    (zero false negatives), and disjoint keys still mostly probe new
+    (the filters weren't saturated by the update)."""
+    from pyspark.sql import functions as F
+
+    from warcannon_spark.plans.bloom import build_bloom, or_into_bloom, probe_bloom
+
+    k1 = spark.range(0, 5000).select((F.col("id") * 7919).alias("url_hash"))
+    k2 = spark.range(0, 3000).select(
+        (F.col("id") * 104729 + 13).alias("url_hash")
+    )
+    bloom = build_bloom(k1, num_partitions=4)
+    bloom2 = or_into_bloom(bloom, k2)
+    assert (bloom2.num_partitions, bloom2.m, bloom2.k) == (
+        bloom.num_partitions,
+        bloom.m,
+        bloom.k,
+    )
+    both = k1.unionByName(k2)
+    probed = probe_bloom(both, bloom2)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0  # no FNs
+    fresh = spark.range(0, 4000).select(
+        (F.col("id") * 999983 + 7).alias("url_hash")
+    )
+    fpr = probe_bloom(fresh, bloom2).filter(F.col("maybe_seen")).count() / 4000
+    assert fpr < 0.05, f"updated filter saturated: fpr={fpr}"
+
+
 def test_robots_parse_and_gate(spark):
     from warcannon_spark.plans.robots import parse_robots_txt, robots_allowed
 

@@ -182,17 +182,37 @@ def match_hits(
     # Arrow/Python path entirely (see anchor_prefilter docstring).
     df = df.filter(anchor_prefilter(F.col(text_col)))
 
-    # NB: explode_outer + post-generate null filter, NOT explode. A plain
-    # explode makes Catalyst's InferFiltersFromGenerate rule synthesize a
-    # size(__ms)>0 filter below the Generate, which duplicates the UDF into
-    # a second ArrowEvalPython node — the whole corpus would cross the
-    # Arrow boundary and get scanned twice.
+    return hits_from_match_lists(
+        df.withColumn("__ms", extract_matches(F.col(text_col))),
+        url_col=url_col,
+        passthrough=passthrough,
+    )
+
+
+def hits_from_match_lists(
+    df: DataFrame,
+    lists_col: str = "__ms",
+    url_col: str = "url",
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """Match-list column → one row per surviving occurrence (the explode
+    + normalize + sha1 + domain tail of match_hits). Exposed separately
+    so callers that persist the PER-PAGE match lists (e.g. the crawl
+    round's single-corpus-pass frame) derive hits from the slim cache
+    without re-running the UDF.
+
+    NB: explode_outer + post-generate null filter, NOT explode. A plain
+    explode makes Catalyst's InferFiltersFromGenerate rule synthesize a
+    size(lists)>0 filter below the Generate, which duplicates the UDF
+    into a second ArrowEvalPython node when the lists column is computed
+    in the same plan — the whole corpus would cross the Arrow boundary
+    and get scanned twice."""
+    passthrough = passthrough or []
     exploded = (
-        df.withColumn("__ms", extract_matches(F.col(text_col)))
-        .select(
+        df.select(
             F.col(url_col).alias("url"),
             *[F.col(c) for c in passthrough],
-            F.explode_outer("__ms").alias("__m"),
+            F.explode_outer(lists_col).alias("__m"),
         )
         .filter(F.col("__m").isNotNull())
         .select(

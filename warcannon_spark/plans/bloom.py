@@ -159,6 +159,58 @@ def build_bloom(
     return PartitionedBloom(filters=filters, num_partitions=p, m=m, k=kk)
 
 
+def or_into_bloom(
+    bloom: PartitionedBloom, keys: DataFrame, hash_col: str = "url_hash"
+) -> PartitionedBloom:
+    """INCREMENTAL seen-set maintenance: a new PartitionedBloom with
+    ``keys`` OR'd into the existing filters — same partitioning, m, k.
+
+    Why it matters: rebuilding the Bloom from the full seen-set costs an
+    O(|frontier|) scan per crawl round; OR-ing in only the round's delta
+    keys costs O(|delta| + P × bits) — at 10^10 seen keys and ~10^5
+    discoveries per round that is the difference between re-reading the
+    whole frontier and touching just the new rows. Implemented as a
+    cogroup on pid (keys hash-route to their filter's partition; each
+    filter bitmap crosses the Arrow boundary once), so the plan shape is
+    identical to probe_bloom's.
+
+    CONTRACT: the result has zero false negatives for (built ∪ keys) —
+    callers that rely on Bloom definite-new (novel_urls) must OR in every
+    key that enters the seen-set, every round (pinned by the bloom-vs-
+    exact crawl equivalence test)."""
+    m, k, p = bloom.m, bloom.k, bloom.num_partitions
+
+    def orin(filt: pd.DataFrame, kdf: pd.DataFrame) -> pd.DataFrame:
+        if len(filt) == 0 and len(kdf) == 0:
+            return pd.DataFrame(
+                {"pid": [], "m": [], "k": [], "bitset": []}
+            ).astype({"pid": "int32", "m": "int64", "k": "int32"})
+        pid = int(filt["pid"].iloc[0]) if len(filt) else int(kdf["pid"].iloc[0])
+        if len(filt):
+            bits = np.frombuffer(filt["bitset"].iloc[0], dtype=np.uint8).copy()
+        else:  # first keys ever routed to this partition
+            bits = np.zeros(m // 8, dtype=np.uint8)
+        if len(kdf):
+            pos = _bit_positions(kdf["h"].to_numpy(), m, k).ravel()
+            np.bitwise_or.at(
+                bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+            )
+        return pd.DataFrame(
+            {"pid": [pid], "m": [m], "k": [k], "bitset": [bits.tobytes()]}
+        )
+
+    keyed = keys.select(
+        F.col(hash_col).alias("h"),
+        F.pmod(F.col(hash_col), F.lit(p)).cast("int").alias("pid"),
+    )
+    filters = (
+        bloom.filters.groupBy("pid")
+        .cogroup(keyed.groupBy("pid"))
+        .applyInPandas(orin, BLOOM_SCHEMA)
+    )
+    return PartitionedBloom(filters=filters, num_partitions=p, m=m, k=k)
+
+
 def probe_bloom(
     candidates: DataFrame,
     bloom: PartitionedBloom,

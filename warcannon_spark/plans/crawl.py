@@ -53,10 +53,10 @@ import time
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.matcher import match_hits
+from ..operators.matcher import extract_matches, hits_from_match_lists
 from ..sources.tableio import TableIO
 from . import frontier as FR
-from .bloom import build_bloom, novel_urls
+from .bloom import TARGET_KEYS_PER_PARTITION, build_bloom, novel_urls, or_into_bloom
 from .robots import robots_gate, robots_rules
 
 LINK_RE = r'href="(https?://[^"]+)"'
@@ -130,13 +130,25 @@ class CrawlEngine:
         compact_every: int = 8,
         bloom_min_candidates: int = 5000,
         broadcast_ceiling_rows: int = BROADCAST_CEILING_ROWS,
+        cache_corpus: bool = False,
     ):
         self.spark = spark
         self.workdir = workdir
         # pages keyed by canonical url for the fetch join; narrowed to the
         # two columns the round needs so corpus extras can never collide
         # with frontier column names downstream.
+        #
+        # cache_corpus: SIM-ONLY knob. The fetch-sim join re-scans the
+        # whole pages table every round — a sandbox artifact: the real
+        # pipeline reads exactly the WARC bytes of the fetched batch
+        # (sources/warc.py), an O(batch) cost. Caching the sim corpus
+        # (executor-partitioned persist, NOT a broadcast) makes the sim's
+        # per-round cost closer to that O(batch) reality; it is off by
+        # default and benchmarks report cached and cold numbers side by
+        # side.
         self.pages = pages.select("url", "text")
+        if cache_corpus:
+            self.pages = self.pages.persist()
         self.robots = robots
         # robots rules parsed ONCE per engine (executor-side) and cached
         # across rounds — round 1 re-collected + re-broadcast them every
@@ -156,6 +168,17 @@ class CrawlEngine:
         self.t_metrics = TableIO(os.path.join(workdir, "metrics"))
         # incrementally-maintained resolved frontier (see module docstring)
         self._resolved: DataFrame | None = None
+        # incrementally-maintained partitioned Bloom over every url_hash
+        # that has EVER entered the frontier: built once from the resolved
+        # frontier, then the per-round discovery delta is OR'd in
+        # (or_into_bloom) — O(delta) per round instead of an O(|frontier|)
+        # rebuild scan. Rebuilt (auto-resized) when the tracked key count
+        # outgrows the built capacity. INVARIANT: when _bloom is not None
+        # it covers every frontier key, else novel_urls' definite-new
+        # fast-path would admit duplicates (pinned by the bloom-vs-exact
+        # crawl equivalence test).
+        self._bloom = None
+        self._bloom_keys = 0
 
     # -- state --------------------------------------------------------------
     @property
@@ -181,6 +204,7 @@ class CrawlEngine:
         self.t_frontier.write(deduped, mode="overwrite", meta={"round": 0})
         # a freshly-seeded base is resolved by construction
         self._resolved = self.t_frontier.read(self.spark)
+        self._drop_bloom()
 
     def frontier(self) -> DataFrame:
         """Current frontier state: base ∪ committed log deltas, latest
@@ -212,21 +236,42 @@ class CrawlEngine:
         """Append the round's touched rows; this snapshot IS the ack.
         Afterwards advance the resolved cache incrementally: the delta is
         read BACK from the committed dir (no recompute, all inputs on
-        disk) and applied as anti-join ∪ delta. The chain is bounded —
-        at most compact_every hops before compaction re-anchors it on a
-        plain base read."""
+        disk) and applied as anti-join ∪ delta, then PERSISTED eagerly —
+        the round-3 profile showed the lazy chain re-evaluating base +
+        all prior hops at every frontier use (dequeue, seen-set, next
+        commit), which dominated round wall-clock. Now each round reads
+        the previous round's cached blocks + its own delta exactly once.
+        The cache is a working-set materialization of the CURRENT
+        frontier (MEMORY_AND_DISK locally; an Iceberg deployment's
+        equivalent is the compacted base + delta chain, which the
+        windowed fallback in frontier() still resolves from cold —
+        crash/resume semantics unchanged)."""
         prev = self.frontier()  # captured BEFORE the append (reads are
         # manifest-pinned at construction, so the view is stable)
-        self.t_flog.write(delta, mode="append", meta={"round": rnd})
+        # delta rows inherit the fetch path's task count — coalesce so a
+        # ~10^5-row commit lands as a handful of files, not ~100 (file
+        # open/close overhead dominated the round-3 commit profile).
+        self.t_flog.write(
+            delta.coalesce(max(4, self.P // 4)), mode="append", meta={"round": rnd}
+        )
         # ALWAYS advance the chain before a possible compaction — compact
         # folds self.frontier(), which must already include this delta.
         committed = self.t_flog.read_last_dir(self.spark)
         # (string-key joins move the key column first — restore schema order)
-        self._resolved = (
+        resolved = (
             prev.join(committed.select("url_hash"), "url_hash", "left_anti")
             .unionByName(committed)
             .select(*prev.columns)
-        )
+            # union appends the delta's partitions to prev's — coalesce
+            # keeps the cached frontier at a stable partition count
+            # instead of growing by ~|delta partitions| every round.
+            .coalesce(self.P)
+        ).persist()
+        resolved.count()  # materialize BEFORE dropping prev's blocks
+        old = self._resolved
+        self._resolved = resolved
+        if old is not None:
+            old.unpersist()
         if self.t_flog.num_dirs() >= self.compact_every:
             self._compact(rnd)
 
@@ -241,6 +286,50 @@ class CrawlEngine:
         self.t_flog.truncate(meta={"round": rnd})
         merged.unpersist()
         self._resolved = self.t_frontier.read(self.spark)
+
+    # -- incremental Bloom maintenance ---------------------------------------
+    def _drop_bloom(self) -> None:
+        if self._bloom is not None:
+            self._bloom.filters.unpersist()
+        self._bloom = None
+        self._bloom_keys = 0
+
+    def _ensure_bloom(self, frontier: DataFrame):
+        """Build the partitioned Bloom ONCE from the resolved frontier
+        (O(|frontier|) — paid on first use and on auto-resize only);
+        afterwards rounds extend it via _absorb_bloom_delta. Resize
+        trigger: tracked keys outgrow the built per-partition capacity."""
+        if self._bloom is not None:
+            cap = self._bloom.num_partitions * TARGET_KEYS_PER_PARTITION
+            if self._bloom_keys <= cap:
+                return self._bloom
+        self._drop_bloom()
+        keys = frontier.select("url_hash")
+        n = keys.count()
+        bloom = build_bloom(keys, num_partitions=self.P, expected_keys=n)
+        bloom.filters.persist().count()
+        self._bloom = bloom
+        self._bloom_keys = n
+        return bloom
+
+    def _absorb_bloom_delta(self, new_keys: DataFrame, n: int) -> None:
+        """OR the round's discovery keys into the maintained Bloom —
+        O(delta + filters), no frontier scan. Must run EVERY round that
+        adds keys while a Bloom exists (see the invariant note in
+        __init__); a superset Bloom is always safe (false positives are
+        exactly-confirmed), a subset would admit duplicate frontier rows."""
+        if self._bloom is None or n <= 0:
+            return
+        from dataclasses import replace
+
+        updated = or_into_bloom(self._bloom, new_keys.select("url_hash"))
+        # localCheckpoint: materializes AND truncates lineage so the
+        # filter plan doesn't deepen by one cogroup per round (filters
+        # are P × m/8 bytes — tiny next to any round's data motion).
+        ckpt = updated.filters.localCheckpoint(eager=True)
+        self._bloom.filters.unpersist()
+        self._bloom = replace(updated, filters=ckpt)
+        self._bloom_keys += n
 
     def matches(self) -> DataFrame:
         """Committed matches only. The frontier snapshot's round counter is
@@ -267,6 +356,15 @@ class CrawlEngine:
     # -- one round ------------------------------------------------------------
     def run_round(self, frontier: DataFrame | None = None) -> dict:
         t0 = time.time()
+        tprev = t0
+        self.last_timings: dict[str, float] = {}
+
+        def _mark(stage: str) -> None:
+            nonlocal tprev
+            now = time.time()
+            self.last_timings[stage] = round(now - tprev, 3)
+            tprev = now
+
         rnd = self.round_no + 1
         frontier = (self.frontier() if frontier is None else frontier).persist()
 
@@ -276,6 +374,7 @@ class CrawlEngine:
         # materializes the persisted batch once; also the regime switch
         # input for fetch_join's broadcast ceiling.
         dequeued = batch.count()
+        _mark("dequeue")
 
         # robots gate (J4): blocked rows become terminal outcomes. The
         # gate is a distributed DataFrame join (plans/robots.robots_gate);
@@ -293,63 +392,87 @@ class CrawlEngine:
         # fetch-sim: pages ⋈ broadcast(leased batch) — the batch (bounded
         # by hosts×budget) is the build side; the corpus scan streams with
         # no exchange (plan-asserted in tests/test_plans.py; see fetch_join).
-        got, missed = fetch_join(
+        got, _ = fetch_join(
             self.pages,
             allowed,
             batch_rows=dequeued,
             broadcast_ceiling_rows=self.broadcast_ceiling_rows,
         )
-        got = got.persist()
 
-        # matcher over fetched pages (flagship operator). Persisted: the
-        # hit stream feeds both the matches commit and the metrics join.
-        hits = match_hits(
-            got.select(
+        # ONE corpus pass per round: the fused matcher (per-page match
+        # LISTS) and link extraction run inside the same scan, and only a
+        # SLIM frame (batch columns + small arrays — no page text) is
+        # persisted. Round-3 profile: persisting the joined pages WITH
+        # text wrote a corpus-batch-sized cache every round and every
+        # downstream consumer (outcomes, miss set, metrics, discovery)
+        # re-read it; the slim frame is ~100× smaller. The matcher kernel
+        # RE2-prefilters internally, so pages without candidates cost one
+        # Arrow crossing and no Python regex work.
+        link_col = (
+            F.array_distinct(
+                F.regexp_extract_all("text", F.lit(LINK_RE), F.lit(1))
+            )
+            if self.discover_links
+            else F.array().cast("array<string>")
+        )
+        enriched = got.select(
+            *batch.columns,
+            extract_matches(F.col("text")).alias("__ms"),
+            link_col.alias("__links"),
+        ).persist()
+
+        # hit stream: explode the cached match lists (no UDF re-run).
+        hits = hits_from_match_lists(
+            enriched.select(
                 F.col("canon_url").alias("url"),
                 "partition_id",
-                F.col("host_rank"),
-                "text",
+                "host_rank",
+                "__ms",
             ),
             passthrough=["partition_id", "host_rank"],
         ).persist()
         n_matches = self.t_matches_append(hits, rnd)
+        _mark("fetch_match_append")
+
+        # miss set: both sides batch-bounded, fetched side from the cache.
+        missed = allowed.join(
+            enriched.select("canon_url"), "canon_url", "left_anti"
+        )
 
         # link discovery → novel URLs → new pending rows.
         discovered = 0
         new_rows = None
         if self.discover_links:
-            links = (
-                got.select(
-                    F.explode(
-                        F.regexp_extract_all("text", F.lit(LINK_RE), F.lit(1))
-                    ).alias("url")
-                )
-                .distinct()
-            )
+            links = enriched.select(
+                F.explode("__links").alias("url")
+            ).distinct()
             cand = FR.frontier_rows(
                 links, round_no=rnd, num_partitions=self.P
             ).persist()
             seen = frontier.select("url_hash")
-            # The Bloom fast path pays for itself only when the candidate
-            # set is large (its build scans the whole seen-set each
-            # round); for small discovery batches the exact anti-join is
-            # strictly cheaper. cand is persisted, so this count is the
-            # same job the discovered-counter needs anyway.
+            # The Bloom BUILD pays for itself only when the candidate set
+            # is large; but once built it is maintained INCREMENTALLY
+            # (delta OR-in, never an O(|frontier|) rebuild), so any later
+            # round probes it for free. cand is persisted, so this count
+            # is the same job the discovered-counter needs anyway.
             n_cand = cand.count()
-            bloom = (
-                build_bloom(seen, num_partitions=self.P)
-                if self.use_bloom and n_cand >= self.bloom_min_candidates
-                else None
-            )
+            _mark("discover_candidates")
+            if self.use_bloom and (
+                self._bloom is not None or n_cand >= self.bloom_min_candidates
+            ):
+                bloom = self._ensure_bloom(frontier)
+            else:
+                bloom = None
             novel = novel_urls(cand, seen, bloom).dropDuplicates(["url_hash"])
             new_rows = novel.persist()
             discovered = new_rows.count()
             cand.unpersist()
+            _mark("novel_check")
 
         # round delta: replacement rows for touched URLs + discoveries —
         # NO frontier-wide join/rewrite (see module docstring).
         batch_cols = [c for c in batch.columns if c != "host_rank"]
-        # A corpus with duplicate urls yields multiple ``got`` rows per
+        # A corpus with duplicate urls yields multiple fetched rows per
         # batch url_hash (fetch_join is an inner join). All their batch-
         # side columns are identical (the batch is unique per url_hash),
         # so dropDuplicates here is deterministic — and it is REQUIRED:
@@ -358,7 +481,7 @@ class CrawlEngine:
         # incremental anti-join∪delta cache and get baked into the base
         # at compaction, permanently breaking the frontier's
         # unique-per-url_hash invariant (ADVICE r2).
-        done = got.select(
+        done = enriched.select(
             *batch_cols, F.lit("done").alias("outcome")
         ).dropDuplicates(["url_hash"])
         outcomes = done.unionByName(
@@ -376,41 +499,54 @@ class CrawlEngine:
         if new_rows is not None and discovered > 0:
             delta = delta.unionByName(new_rows)
 
-        # metrics: per-(round, partition) lineage (north_rule).
-        stats = (
-            batch.groupBy("partition_id")
-            .agg(F.count(F.lit(1)).alias("dequeued"))
-            .join(
-                got.groupBy("partition_id").agg(
-                    F.count(F.lit(1)).alias("pages_scanned")
-                ),
+        # metrics: per-(round, partition) lineage (north_rule). ONE
+        # union-aggregate over the already-persisted frames instead of a
+        # three-way join of three separate aggregations — one tiny
+        # shuffle, one job (round-3 profile: the join chain cost ~1.5 s
+        # of pure stage overhead per round).
+        def _tagged(df: DataFrame, dq: int, ps: int, mt: int) -> DataFrame:
+            return df.select(
                 "partition_id",
-                "left",
+                F.lit(dq).alias("dq"),
+                F.lit(ps).alias("ps"),
+                F.lit(mt).alias("mt"),
             )
-            .join(
-                hits.groupBy("partition_id").agg(
-                    F.count(F.lit(1)).alias("matches_total")
-                ),
-                "partition_id",
-                "left",
+
+        stats = (
+            _tagged(batch, 1, 0, 0)
+            .unionByName(_tagged(enriched, 0, 1, 0))
+            .unionByName(_tagged(hits, 0, 0, 1))
+            .groupBy("partition_id")
+            .agg(
+                F.sum("dq").alias("dequeued"),
+                F.sum("ps").alias("pages_scanned"),
+                F.sum("mt").alias("matches_total"),
             )
             .select(
                 F.lit(rnd).alias("round"),
                 "partition_id",
                 "dequeued",
-                F.coalesce("pages_scanned", F.lit(0)).alias("pages_scanned"),
-                F.coalesce("matches_total", F.lit(0)).alias("matches_total"),
+                "pages_scanned",
+                "matches_total",
                 F.lit(int((time.time() - t0) * 1000)).alias("duration_ms"),
             )
         )
         self._drop_orphans(self.t_metrics, rnd)
-        self.t_metrics.write(stats, mode="append", meta={"round": rnd})
+        # ≤ num_partitions rows — one file, not one per reducer.
+        self.t_metrics.write(stats.coalesce(1), mode="append", meta={"round": rnd})
+        _mark("metrics")
 
         # log-append commit == ack (LAST, after all derived tables landed;
         # a crash before this point replays the round idempotently).
         self._commit_delta(delta, rnd)
+        _mark("commit")
+        # extend the maintained Bloom with the round's new keys (superset-
+        # safe even if a later crash discards the commit — see invariant).
+        if new_rows is not None:
+            self._absorb_bloom_delta(new_rows, discovered)
+            _mark("bloom_absorb")
 
-        for df in (frontier, batch, got, hits):
+        for df in (frontier, batch, enriched, hits):
             df.unpersist()
         if gated is not None:
             gated.unpersist()
@@ -436,6 +572,11 @@ class CrawlEngine:
             table.write(kept, mode="overwrite", meta={"round": rnd - 1})
 
     def t_matches_append(self, hits: DataFrame, rnd: int) -> int:
+        """``hits`` must already be persisted by the caller: the append
+        projects from its cache, and the round's own count reads the same
+        cache — NOT a re-read of the whole matches table, which would
+        make every round pay O(total campaign matches) to report its own
+        count."""
         self._drop_orphans(self.t_matches, rnd)
         out = hits.select(
             F.lit(rnd).alias("round"),
@@ -445,14 +586,9 @@ class CrawlEngine:
             "value",
             "value_sha1",
             "partition_id",
-        ).persist()
+        ).coalesce(max(4, self.P // 8))
         self.t_matches.write(out, mode="append", meta={"round": rnd})
-        # Count the round's own rows from the cached frame — NOT a re-read
-        # of the whole matches table, which would make every round pay
-        # O(total campaign matches) just to report its own count.
-        n = out.count()
-        out.unpersist()
-        return n
+        return hits.count()
 
     def run(self, max_rounds: int = 100) -> list[dict]:
         """Run rounds until drained (R4) or max_rounds. Safe to call on a
