@@ -135,6 +135,37 @@ def test_banded_pairs_complete_at_hamming_4_to_6(spark):
     assert (0, 3) in got and got[(0, 3)] == 6
 
 
+def test_dup_clusters_connected_components(spark):
+    """Connected components over dup pairs: a 12-node CHAIN (diameter 11
+    — forces multi-round convergence and exercises pointer jumping), a
+    separate triangle, and singletons must each resolve to the component
+    min, in well under max_iter rounds."""
+    from pyspark.sql import functions as F
+
+    from warcannon_spark.operators.dedup import dup_clusters
+
+    chain = [(i, i + 1) for i in range(11)]  # 0-1-2-...-11
+    tri = [(100, 101), (101, 102), (100, 102)]
+    pairs = spark.createDataFrame(chain + tri, "doc_a long, doc_b long")
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(12)] + [(100,), (101,), (102,), (500,), (501,)],
+        "doc_id long",
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dup_clusters(pairs, vertices=vertices).collect()
+    }
+    assert all(got[i] == 0 for i in range(12))
+    assert got[100] == got[101] == got[102] == 100
+    assert got[500] == 500 and got[501] == 501
+    assert len(got) == 17
+
+    # empty edge set: everyone is their own cluster
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    solo = dup_clusters(empty, vertices=vertices)
+    assert all(r.doc_id == r.cluster_id for r in solo.collect())
+
+
 def test_minhash_param_scaling_keeps_exact_dupes(spark):
     """num_perm/band_size are production knobs (recall = 1-(1-t^r)^b);
     identical shingle sets (jaccard 1.0) collide on every band at ANY

@@ -171,6 +171,106 @@ def minhash_lsh_pairs(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    vertices: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup CLUSTER ASSIGNMENT: connected components over dup pairs →
+    (doc_id, cluster_id) with cluster_id = min doc_id of the component —
+    the step a training-data pipeline runs after pair generation to pick
+    one canonical document per duplicate group.
+
+    Spark-first iterative algorithm (no GraphFrames dependency): per
+    iteration (1) label ← min(own, neighbors' labels) — one edge join +
+    min-agg — then (2) POINTER JUMPING: label ← label(label) — one
+    label-to-label join — which halves label-chain depth, so convergence
+    is O(log diameter) joins rather than O(diameter) (the same
+    contraction idea as the large-star/small-star CC algorithm, Kiveris
+    et al. 2014). Each iteration ends with a localCheckpoint: iterative
+    DataFrame algorithms otherwise stack one join per iteration into a
+    single unexecutable lineage. Convergence is detected by a changed-
+    label count hitting zero; singletons (vertices with no pair) keep
+    their own id as cluster_id when ``vertices`` is supplied.
+
+    Scale notes: every iteration is two shuffles keyed on ids — AQE
+    handles skew (a mega-cluster's label node is a hot key; pointer
+    jumping keeps its depth 1 so the hot join is one wave). State per
+    iteration is one (id, label) row per vertex.
+    """
+    a, b = "__a", "__b"
+    edges = pairs.select(
+        F.col(pairs.columns[0]).alias(a), F.col(pairs.columns[1]).alias(b)
+    )
+    edges = (
+        edges.unionByName(edges.select(F.col(b).alias(a), F.col(a).alias(b)))
+        .distinct()
+        .persist()
+    )
+    verts = edges.select(F.col(a).alias(id_col))
+    if vertices is not None:
+        verts = verts.unionByName(vertices.select(id_col))
+    labels = (
+        verts.distinct().select(id_col, F.col(id_col).alias("cluster_id"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col(id_col).alias(b), F.col("cluster_id").alias("__nl")
+                ),
+                b,
+            )
+            .groupBy(a)
+            .agg(F.min("__nl").alias("__nbr"))
+            .select(F.col(a).alias(id_col), "__nbr")
+        )
+        stepped = (
+            labels.join(nbr_min, id_col, "left")
+            .select(
+                id_col,
+                F.least(
+                    F.col("cluster_id"), F.coalesce("__nbr", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        # pointer jumping: follow the label one hop (label of my label)
+        jumped = (
+            stepped.alias("s")
+            .join(
+                stepped.select(
+                    F.col(id_col).alias("__lid"),
+                    F.col("cluster_id").alias("__ll"),
+                ),
+                F.col("s.cluster_id") == F.col("__lid"),
+                "left",
+            )
+            .select(
+                F.col(f"s.{id_col}").alias(id_col),
+                F.coalesce("__ll", F.col("s.cluster_id")).alias("cluster_id"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            jumped.alias("n")
+            .join(
+                labels.select(
+                    id_col, F.col("cluster_id").alias("__old")
+                ),
+                id_col,
+            )
+            .filter(F.col("cluster_id") != F.col("__old"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def distinct_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     return docs.select(
         F.col(id_col).alias("doc_id"),

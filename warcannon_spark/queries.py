@@ -765,6 +765,47 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_clusters",
+    f"""WITH RECURSIVE {_simhash_cte()},
+bands AS (
+{chr(10).join(f"  SELECT doc_id, {b} AS band, (simhash >> {b * 15}) & {(1 << 15) - 1} AS band_val FROM sim"
+              + (" UNION ALL" if b < 3 else "") for b in range(4))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+  WHERE a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN sim sa ON sa.doc_id = c.doc_a JOIN sim sb ON sb.doc_id = c.doc_b
+  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 1
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER ASSIGNMENT (the canonical-document step of a
+    training-data dedup pipeline): connected components over the simhash
+    near-pair graph via iterative min-label propagation + pointer
+    jumping (O(log diameter) rounds); oracle = DuckDB RECURSIVE
+    transitive closure over the same edges."""
+    from .operators.dedup import dup_clusters, simhash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_pairs(docs, max_hamming=1).select("doc_a", "doc_b")
+    return dup_clusters(pairs, vertices=docs.select("doc_id"))
+
+
+@_q(
     "lang_id",
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 scored AS (
