@@ -984,6 +984,85 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "training_corpus_filter",
+    f"""WITH RECURSIVE {_simhash_cte()},
+bands AS (
+{chr(10).join(f"  SELECT doc_id, {b} AS band, (simhash >> {b * 15}) & {(1 << 15) - 1} AS band_val FROM sim"
+              + (" UNION ALL" if b < 3 else "") for b in range(4))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+  WHERE a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN sim sa ON sa.doc_id = c.doc_a JOIN sim sb ON sb.doc_id = c.doc_b
+  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 1
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+),
+clusters AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+),
+quality AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) >= 10
+      AND length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 5 <= length(text)
+      AS is_quality
+  FROM documents
+),
+lang AS (
+  SELECT doc_id,
+    len(list_filter(string_split(text, ' '), t -> t IN ('the','and','of')))
+      >= greatest(
+        len(list_filter(string_split(text, ' '), t -> t IN ('el','la','los'))),
+        len(list_filter(string_split(text, ' '), t -> t IN ('der','und','das'))))
+      AS is_en
+  FROM documents
+)
+SELECT d.doc_id, c.cluster_id
+FROM documents d
+JOIN clusters c ON c.doc_id = d.doc_id
+JOIN quality q ON q.doc_id = d.doc_id
+JOIN lang l ON l.doc_id = d.doc_id
+WHERE q.is_quality AND l.is_en AND c.cluster_id = d.doc_id""",
+)
+def q_training_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data curation pipeline as ONE composed
+    plan — the use-case all the §D operators exist for: keep documents
+    that (1) pass the quality gate, (2) classify as English, and (3) are
+    the CANONICAL member (cluster min) of their near-dup cluster, so
+    each duplicate group contributes exactly one document. Composes
+    quality_stats + lang_id + simhash_near_pairs + dup_clusters; every
+    stage stays a DataFrame transformation, so Catalyst fuses the three
+    single-pass document scans and the only materialization is the
+    cluster iteration."""
+    from .operators.dedup import dup_clusters, simhash_near_pairs
+    from .operators.textstats import lang_id, quality_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_pairs(docs, max_hamming=1).select("doc_a", "doc_b")
+    clusters = dup_clusters(pairs, vertices=docs.select("doc_id"))
+    q = quality_stats(docs).select("doc_id", "is_quality")
+    lang = lang_id(docs).select("doc_id", "pred_lang")
+    return (
+        clusters.filter(F.col("cluster_id") == F.col("doc_id"))
+        .join(q, "doc_id")
+        .join(lang, "doc_id")
+        .filter((F.col("is_quality") == 1) & (F.col("pred_lang") == "en"))
+        .select("doc_id", "cluster_id")
+    )
+
+
 @_q("regex_cost_profile")  # rows-only: wall-clock telemetry is nondeterministic
 def q_regex_cost_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's regex cost profiler (parse_regex.js:50-63,171-184)
