@@ -590,6 +590,55 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "streaming_event_sessions",
+    """WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events)
+SELECT user_id,
+       CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM ordered GROUP BY user_id""",
+)
+def q_streaming_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization under the oracle gate: the events table
+    drained through Spark's native session_window stateful operator
+    (micro-batched file drops, availableNow), folded to per-user session
+    and event counts. Oracle = batch gaps-and-islands with the >= gap
+    cut — session_window's window end is EXCLUSIVE, so an event exactly
+    ``gap`` after its predecessor opens a new session (the batch
+    ``event_sessions`` query keeps the reference's strict-> semantics;
+    the two cuts differ only on exact-boundary gaps)."""
+    import os as _os
+
+    from .sources.tableio import TableIO
+    from .streaming.pipeline import run_session_pipeline
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    root = f"/tmp/wc_sess_stream_q_v1_{tag}"
+    src = f"{root}/src"
+    if not _os.path.exists(f"{root}/_SRC_DONE"):
+        (
+            _t(spark, sf_dir, "events")
+            .select("user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"))
+            .coalesce(4)
+            .write.mode("overwrite")
+            .json(src)
+        )
+        with open(f"{root}/_SRC_DONE", "w") as f:
+            f.write("ok")
+    table = run_session_pipeline(
+        spark, src, f"{root}/sessions", checkpoint_dir=f"{root}/ckpt"
+    )
+    sess = table.read(spark)
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
 @_q("crawl_frontier_state")  # rows-only: multi-round stateful loop, not SQL
 def q_crawl_frontier_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full CrawlEngine driven for 3 rounds over a linked corpus

@@ -96,6 +96,60 @@ def make_rollup_sink(table: TableIO):
     return sink
 
 
+EVENTS_STREAM_SCHEMA = "user_id long, event_id long, ts timestamp"
+
+
+def session_windows_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session-window aggregation over an event stream: Spark
+    merges events within ``gap`` of each other into one growing window
+    per user (the built-in custom-stateful-operator path; window end is
+    EXCLUSIVE, so an event landing exactly at prev_ts+gap opens a NEW
+    session). Production shape: ``withWatermark`` + append mode so state
+    for closed sessions is dropped; the availableNow drain below uses
+    complete mode instead (watermarks can't finalize the last window of
+    a bounded drain)."""
+    return events.groupBy(
+        "user_id", F.session_window("ts", gap).alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def run_session_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    workdir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+):
+    """Drain an events file-drop through streaming session windows into a
+    TableIO snapshot (complete mode ⇒ each micro-batch rewrites the full
+    current session table; the final snapshot is the answer)."""
+    table = TableIO(workdir)
+    ev = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .json(source_dir)
+    )
+    sess = session_windows_stream(ev, gap=gap).select(
+        "user_id",
+        F.col("w.start").alias("w_start"),
+        F.col("w.end").alias("w_end"),
+        "n_events",
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        table.write(batch_df, mode="overwrite", meta={"batch_id": batch_id})
+
+    q = (
+        sess.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table
+
+
 def run_match_pipeline(
     spark: SparkSession,
     source_dir: str,
