@@ -179,6 +179,10 @@ class CrawlEngine:
         # crawl equivalence test).
         self._bloom = None
         self._bloom_keys = 0
+        # last round's novel-URL count — the Bloom build gate signal
+        # (replaces a per-round candidate count() action; novel ⊆
+        # candidates, so it under-gates by at most one round).
+        self._last_novel = 0
 
     # -- state --------------------------------------------------------------
     @property
@@ -450,15 +454,15 @@ class CrawlEngine:
                 links, round_no=rnd, num_partitions=self.P
             ).persist()
             seen = frontier.select("url_hash")
-            # The Bloom BUILD pays for itself only when the candidate set
-            # is large; but once built it is maintained INCREMENTALLY
-            # (delta OR-in, never an O(|frontier|) rebuild), so any later
-            # round probes it for free. cand is persisted, so this count
-            # is the same job the discovered-counter needs anyway.
-            n_cand = cand.count()
-            _mark("discover_candidates")
+            # The Bloom BUILD pays for itself only when discovery batches
+            # are large; once built it is maintained INCREMENTALLY (delta
+            # OR-in, never an O(|frontier|) rebuild), so any later round
+            # probes it for free. The gate signal is LAST round's novel
+            # count — candidates are not separately counted (that was a
+            # whole extra job per round incl. the canonicalize UDF).
             if self.use_bloom and (
-                self._bloom is not None or n_cand >= self.bloom_min_candidates
+                self._bloom is not None
+                or self._last_novel >= self.bloom_min_candidates
             ):
                 bloom = self._ensure_bloom(frontier)
             else:
@@ -466,6 +470,7 @@ class CrawlEngine:
             novel = novel_urls(cand, seen, bloom).dropDuplicates(["url_hash"])
             new_rows = novel.persist()
             discovered = new_rows.count()
+            self._last_novel = discovered
             cand.unpersist()
             _mark("novel_check")
 
@@ -505,12 +510,14 @@ class CrawlEngine:
         # shuffle, one job (round-3 profile: the join chain cost ~1.5 s
         # of pure stage overhead per round).
         def _tagged(df: DataFrame, dq: int, ps: int, mt: int) -> DataFrame:
+            # coalesce: the cached inputs carry the fetch path's task
+            # counts; 8 read tasks per side is plenty for key-only rows.
             return df.select(
                 "partition_id",
                 F.lit(dq).alias("dq"),
                 F.lit(ps).alias("ps"),
                 F.lit(mt).alias("mt"),
-            )
+            ).coalesce(8)
 
         stats = (
             _tagged(batch, 1, 0, 0)
