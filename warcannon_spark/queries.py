@@ -531,6 +531,83 @@ def q_parts_in_bulk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "order_priority_counts",
+    """SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 48)
+GROUP BY o_orderpriority""",
+)
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelates to a left-semi join, then a
+    small hash aggregate — the semi-join side is pre-filtered so only
+    qualifying lineitems shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 48)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_q(
+    "pricing_rollup_sets",
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def q_pricing_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (multi-grain aggregate in ONE pass — Spark
+    expands to a single Expand + hash aggregate, not N scans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@_q(
+    "customer_running_revenue",
+    """SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS running_cents
+FROM orders WHERE o_custkey % 1000 = 7""",
+)
+def q_customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window aggregate (running revenue per customer in
+    deterministic (o_orderdate, o_orderkey) order) — the running-total
+    window family beyond row_number, on a customer subset."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 1000 == 7)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .over(w)
+        .cast("long")
+        .alias("running_cents"),
+    )
+
+
+@_q(
     "frontier_bloom_novel",
     f"""WITH {PAGES_CTE}
 SELECT url FROM pages WHERE fetch_seq % 2 = 0
