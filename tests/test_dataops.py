@@ -135,6 +135,30 @@ def test_banded_pairs_complete_at_hamming_4_to_6(spark):
     assert (0, 3) in got and got[(0, 3)] == 6
 
 
+def test_pagerank_analytic_properties(spark):
+    """PageRank invariants on a known graph (A→B, A→C, B→C; C dangling):
+    ranks always sum to 1 (dangling mass redistributed, not lost), the
+    sink C outranks B outranks A, and the two-iteration hand computation
+    matches the operator to float tolerance."""
+    from warcannon_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "C")], "src string, dst string"
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iterations=10).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks["C"] > ranks["B"] > ranks["A"]
+
+    # hand-checked single iteration from uniform (1/3 each), d=0.85:
+    # dangling = 1/3 (C); base = 0.05 + 0.85*(1/9) [dangling/3]
+    one = {r.node: r.rank for r in pagerank(edges, iterations=1).collect()}
+    base = 0.15 / 3 + 0.85 * (1 / 3 / 3)
+    assert abs(one["A"] - base) < 1e-12
+    assert abs(one["B"] - (base + 0.85 * (1 / 3 / 2))) < 1e-12
+    assert abs(one["C"] - (base + 0.85 * (1 / 3 / 2 + 1 / 3))) < 1e-12
+    assert abs(sum(one.values()) - 1.0) < 1e-9
+
+
 def test_dup_clusters_connected_components(spark):
     """Connected components over dup pairs: a 12-node CHAIN (diameter 11
     — forces multi-round convergence and exercises pointer jumping), a

@@ -1,0 +1,134 @@
+"""Link-graph analytics for crawl prioritization: fixed-iteration
+PageRank over the host graph (the classic frontier-priority signal; the
+reference orders its queue by SQS arrival — SURVEY §2.6 W3 pins OUR
+deterministic order, and this operator supplies a principled priority
+column for it).
+
+Spark-first shape: one join + one aggregate per iteration, all
+DataFrame-native. Per-iteration ``localCheckpoint`` keeps the plan flat
+(iterative-join lineage otherwise deepens unboundedly — same discipline
+as operators/dedup.dup_clusters). The dangling-mass scalar is collected
+per iteration — ONE row, not a driver-side data path.
+
+Determinism across engines: the update is pure double arithmetic; sums
+may associate differently across engines/partitionings, so oracle-facing
+outputs quantize to 1e-6 (micro-rank BIGINT) — ~6 orders of magnitude
+above any float-association drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = DAMPING,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """edges(src, dst) → (node, rank) after ``iterations`` synchronous
+    PageRank updates with uniform dangling-mass redistribution:
+
+        pr' = (1-d)/N + d * (Σ_in pr(src)/outdeg(src) + dangling/N)
+
+    Self-loops and duplicate edges are removed; the node set is the
+    union of both endpoint columns. Ranks sum to 1 at every iteration.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # edge weight precomputed once: 1/outdeg(src)
+    weighted = (
+        e.join(deg, "src").select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+    ).localCheckpoint(eager=True)
+    has_out = deg.select(F.col("src").alias("node"))
+
+    ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            weighted.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+            .select(F.col("dst").alias("node"), "contrib")
+        )
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]  # ONE scalar row per iteration
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+        ).localCheckpoint(eager=True)
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_cte: str, iterations: int = 10, damping: float = DAMPING
+) -> str:
+    """DuckDB twin with the iterations UNROLLED as chained CTEs (standard
+    SQL forbids aggregation inside a recursive term, so pr0..prK are
+    generated stages — same update rule, same dangling handling).
+    ``edges_cte`` must define ``edges(src, dst)`` (deduped, no
+    self-loops). Yields micro-rank BIGINTs for exact cross-engine
+    comparison."""
+    d = damping
+    parts = [
+        edges_cte,
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        (
+            "w AS MATERIALIZED (SELECT e.src, e.dst, 1.0 / d.outdeg AS w"
+            " FROM edges e JOIN deg d ON d.src = e.src)"
+        ),
+        "pr0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for k in range(iterations):
+        parts.append(
+            f"""pr{k + 1} AS MATERIALIZED (
+  SELECT nodes.node,
+         (1.0 - {d}) / (SELECT n FROM nn)
+         + {d} * (coalesce(c.contrib, 0)
+                  + (SELECT coalesce(sum(rank), 0) FROM pr{k}
+                     WHERE node NOT IN (SELECT src FROM deg))
+                    / (SELECT n FROM nn)) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT w.dst AS node, sum(p.rank * w.w) AS contrib
+    FROM w JOIN pr{k} p ON p.node = w.src GROUP BY w.dst
+  ) c ON c.node = nodes.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node, CAST(round(rank * 1000000) AS BIGINT) AS rank_e6
+FROM pr{iterations}"""
+    )

@@ -530,6 +530,55 @@ def q_parts_in_bulk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_name")
 
 
+_HOST_EDGES_CTE = f"""{PAGES_CTE},
+links AS (
+  SELECT host AS src,
+         regexp_extract(unnest(regexp_extract_all(text,
+             'href="(https?://[^"]+)"', 1)), 'https?://([^/]+)', 1) AS dst
+  FROM pages
+),
+edges AS (SELECT DISTINCT src, dst FROM links WHERE src <> dst AND dst <> '')"""
+
+
+def _host_pagerank_oracle() -> str:
+    from .operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_HOST_EDGES_CTE, iterations=10)
+
+
+@_q("host_pagerank", _host_pagerank_oracle())
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-priority link analysis: 10-iteration PageRank with dangling
+    redistribution over the host graph extracted from page hrefs — the
+    principled replacement for the reference's arrival-order queue
+    priority (feeds politeness_dequeue's priority column). Oracle =
+    the same update rule with iterations unrolled as chained DuckDB
+    CTEs; ranks compared as micro-rank BIGINTs."""
+    from .operators.graph import pagerank
+
+    pages = pages_df(spark, sf_dir)
+    links = (
+        pages.select(
+            F.col("host").alias("src"),
+            F.explode(
+                F.regexp_extract_all(
+                    "text", F.lit(r'href="(https?://[^"]+)"'), F.lit(1)
+                )
+            ).alias("href"),
+        )
+        .select(
+            "src",
+            F.regexp_extract("href", r"https?://([^/]+)", 1).alias("dst"),
+        )
+        .filter((F.col("src") != F.col("dst")) & (F.col("dst") != ""))
+    )
+    ranks = pagerank(links, iterations=10)
+    return ranks.select(
+        "node",
+        F.round(F.col("rank") * 1000000).cast("long").alias("rank_e6"),
+    )
+
+
 @_q(
     "order_priority_counts",
     """SELECT o_orderpriority, count(*) AS order_count
