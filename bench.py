@@ -183,6 +183,15 @@ def main() -> None:
         "robots_gate",
         "tpch_pricing_summary",
         "top_customers",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash_pairs",
+        "dedup_embedding_cosine",
+        "lang_id",
+        "token_counts",
+        "ann_cosine_topk",
+        "event_sessions",
+        "order_priority_counts",
     ]:
         fn = QUERIES.get(name)
         if fn is None:
