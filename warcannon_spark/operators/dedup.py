@@ -148,10 +148,20 @@ def minhash_lsh_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        .persist()  # consumed 3× below (pair join + two semi prunes)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # Exact-verify must touch only CANDIDATE docs' shingles: without the
+    # semi-joins below, the (doc_b, shingle) equi-join shuffles the FULL
+    # shingle table (O(corpus) rows) even when LSH surfaced a handful of
+    # pairs — the semi-join prunes each side to O(candidate docs) before
+    # any wide shuffle (candidate id sets are small → broadcast).
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle").join(
+        cand.select("doc_a").distinct(), "doc_a", "left_semi"
+    )
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle").join(
+        cand.select("doc_b").distinct(), "doc_b", "left_semi"
+    )
     inter = (
         cand.join(sa, "doc_a")
         .join(sb, ["doc_b", "shingle"])
