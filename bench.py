@@ -119,8 +119,9 @@ def main() -> None:
 
     from warcannon_spark.plans.crawl import CrawlEngine
 
-    def crawl_run(cache_corpus: bool) -> tuple[float, int, int, dict]:
-        """warm + 2 timed rounds; returns (sec, urls, matches, stage_sec).
+    def crawl_run(cache_corpus: bool) -> tuple[float, int, int, dict, float]:
+        """warm + 2 timed rounds; returns
+        (sec, urls, matches, stage_sec, best_round_urls_per_sec).
         budget 4000 × 37 hosts ⇒ ~148k urls per round, and every host
         stays non-empty through the warm + 2 timed rounds (smallest hosts
         hold ~14.5k pages) — each timed round is a FULL batch."""

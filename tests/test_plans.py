@@ -207,6 +207,30 @@ def test_ccindex_query_prunes_partitions(spark, sf_dir):
     assert all(r.num > 0 for r in rows)
 
 
+def test_ccindex_repoints_when_sf_dir_changes(spark, sf_dir):
+    """ensure_ccindex must never leave the shared catalog name pointing
+    at a PREVIOUS sf_dir's storage: switching corpus dirs within one
+    SparkSession drops + recreates the table at the new location, so a
+    session that scoped a campaign at one scale then re-runs at another
+    reads the data it asked for, not the stale dir."""
+    from warcannon_spark.sources.ccindex import CCINDEX_TABLE, ensure_ccindex
+
+    def location() -> str:
+        rows = spark.sql(f"DESCRIBE FORMATTED {CCINDEX_TABLE}").collect()
+        return next(r.data_type for r in rows if r.col_name == "Location")
+
+    ensure_ccindex(spark, sf_dir)
+    first = location()
+    other = "/root/testdata/sf0.01"
+    ensure_ccindex(spark, other)
+    second = location()
+    assert second != first
+    assert second.rstrip("/").endswith("sf0.01")
+    # and back again — idempotence in both directions
+    ensure_ccindex(spark, sf_dir)
+    assert location() == first
+
+
 def test_dequeue_is_single_exchange_with_partial_window_group_limit(spark):
     """Round-2 dequeue: one politeness window, ONE exchange; skew is
     bounded map-side by the Partial WindowGroupLimit (each task forwards

@@ -185,6 +185,52 @@ def test_multimodal_real_bmp_and_wav_decode(spark):
     assert rows[3].feat is None and rows[3].byte_len == len(b"not-riff-audio")
 
 
+def test_wav_wide_sample_widths_decode_not_zero(spark):
+    """24-bit and 32-bit PCM WAVs must yield their REAL RMS (not a
+    silent 0.0), and an exotic sample width degrades to feat=None like
+    other undecodable audio — never a confidently-wrong zero-energy row."""
+    import io as _io
+    import struct
+    import wave as _wave
+
+    from warcannon_spark.operators.multimodal import extract_media_features
+
+    def wav(width: int, payload: bytes) -> bytes:
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(8000)
+            w.writeframes(payload)
+        return buf.getvalue()
+
+    # constant half-scale samples ⇒ rms = 0.5 exactly
+    w24 = wav(3, struct.pack("<i", 1 << 22)[:3] * 100)
+    w32 = wav(4, struct.pack("<i", 1 << 30) * 100)
+    # width-5 PCM: stdlib wave refuses to WRITE it, so splice the fmt
+    # chunk of a valid file (bits/sample 16→40, block align 2→5)
+    base = wav(2, b"\x00" * 500)
+    i = base.find(b"fmt ")
+    w_bad = (
+        base[: i + 20]
+        + struct.pack("<H", 5)          # block align
+        + struct.pack("<H", 40)         # bits per sample
+        + base[i + 24 :]
+    )
+    media = spark.createDataFrame(
+        [(1, "audio", w24, "audio/wav"), (2, "audio", w32, "audio/wav"),
+         (3, "audio", w_bad, "audio/wav")],
+        "media_id long, kind string, blob binary, mime string",
+    )
+    rows = {
+        r.media_id: r
+        for r in extract_media_features(media, deterministic_fake=False).collect()
+    }
+    assert abs(rows[1].feat[3] - 0.5) < 1e-6, rows[1].feat
+    assert abs(rows[2].feat[3] - 0.5) < 1e-6, rows[2].feat
+    assert rows[3].feat is None
+
+
 def test_multimodal_pillow_decode_when_available(spark):
     """Runs only where the optional Pillow dependency exists: a real PNG
     round-trips through the kernel with exact dimensions."""

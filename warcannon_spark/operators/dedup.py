@@ -170,7 +170,7 @@ def minhash_lsh_pairs(
     )
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
+    out = (
         inter.join(za, "doc_a")
         .join(zb, "doc_b")
         .withColumn("union_cnt", F.col("na") + F.col("nb") - F.col("inter_cnt"))
@@ -179,6 +179,13 @@ def minhash_lsh_pairs(
         )
         .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
     )
+    # The verified-pair set is tiny (near-dups only); materialize it so the
+    # shingle/candidate caches can be RELEASED here instead of leaking one
+    # MEMORY_AND_DISK entry per invocation for the rest of the session.
+    out = out.localCheckpoint(eager=True)
+    cand.unpersist()
+    sh.unpersist()
+    return out
 
 
 def dup_clusters(
@@ -245,7 +252,8 @@ def dup_clusters(
                     F.col("cluster_id"), F.coalesce("__nbr", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-        )
+        ).localCheckpoint(eager=True)  # self-joined below — materialize once,
+        # else the edge-join + min-agg behind it executes twice per iteration
         # pointer jumping: follow the label one hop (label of my label)
         jumped = (
             stepped.alias("s")

@@ -58,7 +58,11 @@ def pagerank(
     weighted = (
         e.join(deg, "src").select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
     ).localCheckpoint(eager=True)
-    has_out = deg.select(F.col("src").alias("node"))
+    # Derived from the CHECKPOINTED weighted frame so the per-iteration
+    # dangling-mass job never re-runs the edge distinct/outdeg shuffles.
+    has_out = (
+        weighted.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    )
 
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
     for _ in range(iterations):

@@ -110,8 +110,21 @@ def _decode_wav(blob: bytes) -> list[float]:
         samples = (
             np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0
         ) / 128.0
+    elif width == 4:
+        samples = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif width == 3:
+        # 24-bit PCM: widen each little-endian triple to int32 then shift
+        b = np.frombuffer(frames, dtype=np.uint8)
+        b = b[: (len(b) // 3) * 3].reshape(-1, 3)
+        i32 = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        i32 = np.where(i32 >= 1 << 23, i32 - (1 << 24), i32)
+        samples = i32.astype(np.float64) / 8388608.0
     else:
-        samples = np.zeros(0)
+        raise NotImplementedError(f"unsupported PCM sample width: {width} bytes")
     rms = float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0
     duration = nframes / rate if rate else 0.0
     return [float(rate), float(nch), float(duration), rms]
@@ -155,8 +168,8 @@ def extract_media_features(
                         feat = np.asarray(
                             _decode_wav(blob), dtype=np.float32
                         )[:feat_dim]
-                    except (wave.Error, EOFError, struct.error):
-                        feat = None
+                    except (wave.Error, EOFError, struct.error, NotImplementedError):
+                        feat = None  # incl. exotic sample widths — degrade, don't fail
                 rows.append(
                     (
                         r.media_id,

@@ -56,7 +56,7 @@ from pyspark.sql import functions as F
 from ..operators.matcher import extract_matches, hits_from_match_lists
 from ..sources.tableio import TableIO
 from . import frontier as FR
-from .bloom import TARGET_KEYS_PER_PARTITION, build_bloom, novel_urls, or_into_bloom
+from .bloom import BITS_PER_KEY, build_bloom, novel_urls, or_into_bloom
 from .robots import robots_gate, robots_rules
 
 LINK_RE = r'href="(https?://[^"]+)"'
@@ -302,9 +302,13 @@ class CrawlEngine:
         """Build the partitioned Bloom ONCE from the resolved frontier
         (O(|frontier|) — paid on first use and on auto-resize only);
         afterwards rounds extend it via _absorb_bloom_delta. Resize
-        trigger: tracked keys outgrow the built per-partition capacity."""
+        trigger: tracked keys outgrow the capacity the filters were
+        BUILT with (P × m / BITS_PER_KEY — build_bloom may have clamped
+        m to MIN_BITS for a small seed frontier, so the built capacity,
+        not the TARGET_KEYS_PER_PARTITION design point, is what keeps
+        the maintained FPR near the ~1% design as keys are OR-ed in)."""
         if self._bloom is not None:
-            cap = self._bloom.num_partitions * TARGET_KEYS_PER_PARTITION
+            cap = self._bloom.num_partitions * self._bloom.m // BITS_PER_KEY
             if self._bloom_keys <= cap:
                 return self._bloom
         self._drop_bloom()

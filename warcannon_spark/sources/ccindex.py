@@ -111,7 +111,10 @@ def ensure_ccindex(spark: SparkSession, sf_dir: str) -> str:
     point: write the (crawl, subset)-partitioned parquet once (cached per
     corpus version), ``CREATE EXTERNAL TABLE IF NOT EXISTS`` over its
     location, then ``MSCK REPAIR TABLE`` to discover partitions. Returns
-    the table name. Idempotent per session AND per storage dir."""
+    the table name. Idempotent per session AND per storage dir: if the
+    catalog entry already exists but points at a DIFFERENT storage dir
+    (another sf_dir or corpus version used earlier in this session), it
+    is dropped and recreated so queries never silently read stale data."""
     tag = os.path.basename(os.path.normpath(sf_dir))
     loc = f"/tmp/wc_ccindex_v{PAGES_VERSION}_{tag}"
     if not os.path.exists(os.path.join(loc, "_DONE")):
@@ -120,6 +123,13 @@ def ensure_ccindex(spark: SparkSession, sf_dir: str) -> str:
         ).parquet(loc)
         with open(os.path.join(loc, "_DONE"), "w") as f:
             f.write("ok")
+    if spark.catalog.tableExists(CCINDEX_TABLE):
+        rows = spark.sql(f"DESCRIBE FORMATTED {CCINDEX_TABLE}").collect()
+        current = next(
+            (r.data_type for r in rows if r.col_name == "Location"), ""
+        )
+        if current.rstrip("/").split(":")[-1] != loc:
+            spark.sql(f"DROP TABLE {CCINDEX_TABLE}")
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS {CCINDEX_TABLE} ({CCINDEX_COLUMNS_DDL})"
         f" USING parquet PARTITIONED BY (crawl STRING, subset STRING)"

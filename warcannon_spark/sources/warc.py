@@ -69,8 +69,11 @@ def iter_warc_records_stream(
     (header-fields, content-block) pairs with O(record + chunk) peak
     memory — the whole stream is never buffered. Field names are
     lower-cased; the block is exactly Content-Length bytes. Tolerant of
-    garbage between records (scans to the next ``WARC/`` magic)."""
-    buf = b""
+    garbage between records (scans to the next ``WARC/`` magic). The
+    buffer is a bytearray so chunk appends are amortized O(chunk) —
+    immutable-bytes concatenation would make a multi-GB record
+    O(record²/chunk) in copies."""
+    buf = bytearray()
     eof = False
     while True:
         # grow the buffer until it holds a complete header
@@ -88,12 +91,12 @@ def iter_warc_records_stream(
                 if j < 0 and len(buf) > 4:
                     # no magic yet: garbage can be dropped except a
                     # possible magic straddle at the tail
-                    buf = buf[-4:]
+                    del buf[:-4]
                 buf += data
         if j > 0:
-            buf = buf[j:]
+            del buf[:j]
             he -= j
-        fields = _parse_header(buf[:he])
+        fields = _parse_header(bytes(buf[:he]))
         try:
             clen = int(fields.get("content-length", "0"))
         except ValueError:
@@ -105,9 +108,9 @@ def iter_warc_records_stream(
                 eof = True
             else:
                 buf += data
-        body = buf[he + 4 : need]
+        body = bytes(buf[he + 4 : need])
         yield fields, body
-        buf = buf[need:]
+        del buf[:need]
 
 
 def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
