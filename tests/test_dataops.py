@@ -271,3 +271,56 @@ def test_embedding_lsh_finds_planted_near_dups(spark):
         assert p in exact  # cosine(base, base+0.05*noise) ~ 0.999
         assert p in got, f"LSH missed planted pair {p}"
     assert got <= exact  # exact verify: no false positives
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A training doc that copies a verbatim 8-gram from the benchmark
+    set must be flagged with the right overlap count; clean docs report
+    0; docs shorter than the window contribute nothing (the sequence()
+    guard) — and the benchmark side of the gram join is BROADCAST."""
+    from warcannon_spark.operators.curation import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # copies grams 1..3 of the bench doc (words 1-10 window)
+            (1, "x alpha beta gamma delta epsilon zeta eta theta iota y"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "short doc"),  # < 8 words: no grams, still reported clean
+        ],
+        "doc_id long, text string",
+    )
+    out = decontaminate(train, bench, n=8)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].contaminated == 1 and rows[1].n_overlap == 2
+    assert rows[2].contaminated == 0 and rows[2].n_overlap == 0
+    assert rows[3].contaminated == 0 and rows[3].n_overlap == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_nests_and_is_shuffle_free(spark):
+    """Raising a stratum's rate must yield a SUPERSET of the lower-rate
+    sample (nested-sample property — what makes data ablations
+    comparable), the same call twice must match exactly, and the plan
+    must contain no Exchange (pure map-side filter)."""
+    from warcannon_spark.operators.curation import stratified_sample
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("es").alias("lang"),
+    )
+    lo = stratified_sample(docs, {"en": 20, "es": 10})
+    hi = stratified_sample(docs, {"en": 60, "es": 40})
+    lo_ids = {r.doc_id for r in lo.collect()}
+    hi_ids = {r.doc_id for r in hi.collect()}
+    assert lo_ids <= hi_ids
+    assert lo_ids == {r.doc_id for r in stratified_sample(docs, {"en": 20, "es": 10}).collect()}
+    # rate sanity: en kept ~20% of 667, es ~10% of 1333
+    n_en = sum(1 for r in lo.collect() if r.lang == "en")
+    assert 0.1 < n_en / 667 < 0.35
+    plan = lo._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

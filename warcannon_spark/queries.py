@@ -1160,6 +1160,65 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "decontaminate",
+    """WITH tokd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(w[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS gram
+  FROM tokd, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+tg AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 50 <> 0),
+ov AS (
+  SELECT tg.doc_id, count(*) AS n_overlap
+  FROM tg JOIN bench USING (gram) GROUP BY tg.doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+  CAST(CASE WHEN coalesce(ov.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS contaminated
+FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
+WHERE d.doc_id % 50 <> 0""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION (train/test overlap removal): per
+    training doc, distinct n-grams shared with the held-out benchmark
+    split (doc_id % 50 = 0 stands in for the eval suite) and a 0/1 flag.
+    n=3 here because the synthetic vocabulary is small; production runs
+    the same plan at n=8. The benchmark gram set is broadcast — the
+    100 TB training side never shuffles its grams."""
+    from .operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(train, bench, n=3)
+
+
+@_q(
+    "stratified_sample",
+    """SELECT doc_id, lang, source
+FROM documents
+WHERE CAST(('0x' || substr(md5('samp|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 100
+    < (CASE lang WHEN 'en' THEN 80 WHEN 'es' THEN 50 WHEN 'de' THEN 30
+       ELSE 10 END)""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling for corpus rebalancing:
+    keep 80% en / 50% es / 30% de / 10% everything else, gated by a
+    portable hash of the doc id — a pure map-side filter (zero shuffles,
+    zero RNG state) whose samples NEST as rates increase, so staged data
+    ablations stay comparable."""
+    from .operators.curation import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        rates_pct={"en": 80, "es": 50, "de": 30},
+        default_pct=10,
+    ).select("doc_id", "lang", "source")
+
+
+@_q(
     "training_corpus_filter",
     f"""WITH RECURSIVE {_simhash_cte()},
 bands AS (
