@@ -330,3 +330,50 @@ def test_duplicate_corpus_urls_keep_frontier_unique(spark, tmp_path):
         windowed = sorted(map(tuple, fresh.frontier().collect()))
         assert sorted(map(tuple, resolved.collect())) == windowed
     assert eng.round_no >= 2  # at least one compaction boundary crossed
+
+
+def test_engine_pagerank_host_cap_crawls_top_host_first(spark, tmp_path):
+    """Wire the link-analysis signal into the scheduler: PageRank over
+    the corpus link graph ranks the LINKED-TO hosts (h1/h2/h9 — they
+    receive h0's cross-host links; h0's own links are self-loops and
+    drop) above the linker, and an engine with max_hosts_per_round=1
+    must spend round 1 entirely on the top-ranked frontier host (h9)
+    while h0's seeds stay pending — then still drain the whole frontier
+    over later rounds (the cap defers, never starves)."""
+    from warcannon_spark.operators.graph import host_rank_priority
+
+    pages = corpus(spark)
+    hp = host_rank_priority(
+        pages.select(
+            F.regexp_extract("url", r"https?://([^/]+)", 1).alias("host"), "text"
+        ),
+        iterations=5,
+    )
+    ranks = {r.host: r.priority for r in hp.collect()}
+    assert ranks["h9.example"] > ranks["h0.example"]  # in-links win
+
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path),
+        pages=corpus(spark),
+        budget_per_host=12,
+        num_partitions=8,
+        max_hosts_per_round=1,
+        host_priority=hp,
+    )
+    all_seeds = seeds(spark).union(
+        spark.createDataFrame(
+            [(f"https://h0.example/p/{i}",) for i in range(12)], "url string"
+        )
+    )
+    eng.seed(all_seeds)
+    eng.run_round()
+    after1 = {(r.host, r.status, r.attempts) for r in eng.frontier().collect()}
+    # round 1 = h9 only (top-ranked host present in the frontier)
+    assert ("h0.example", "pending", 0) in after1
+    assert any(h == "h9.example" and a > 0 for h, s, a in after1)
+
+    eng.run(max_rounds=15)
+    fin = eng.frontier().collect()
+    assert all(r.status != "pending" for r in fin)  # drained despite the cap
+    assert any(r.host == "h1.example" and r.status == "done" for r in fin)

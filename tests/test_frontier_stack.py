@@ -323,3 +323,47 @@ def test_bloom_autosize_and_fpr_at_10m_keys(spark):
     fp = probe_bloom(fresh, bloom).filter(F.col("maybe_seen")).count()
     bloom.filters.unpersist()
     assert fp / M <= 0.02, f"FPR {fp / M:.4f}"
+
+
+def test_dequeue_max_hosts_prioritized_and_broadcast(spark):
+    """Capacity-bound scheduling (the PageRank-priority consumer): with
+    max_hosts=2 and an external (host, priority) table, only the two
+    top-priority hosts' URLs dequeue; unlisted hosts rank lowest; without
+    host_priority the cap falls back to best frontier priority. The host
+    winners must come back as a BROADCAST semi-join — the frontier is
+    never shuffled for the cap."""
+    from warcannon_spark.plans import frontier as FR
+
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 4}.example/p/{i}",) for i in range(200)],
+        "url string",
+    )
+    fr = FR.frontier_rows(urls, round_no=0, num_partitions=8)
+    hp = spark.createDataFrame(
+        [("h2.example", 0.9), ("h0.example", 0.5), ("h1.example", 0.1)],
+        "host string, priority double",
+    )  # h3 unlisted → ranks lowest
+    batch = FR.politeness_dequeue(
+        fr, round_no=1, budget_per_host=5, max_hosts=2, host_priority=hp
+    )
+    rows = batch.collect()
+    assert {r.host for r in rows} == {"h2.example", "h0.example"}
+    assert len(rows) == 10  # 5 per selected host
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+    # fallback: no external table → hosts ranked by best frontier priority
+    best = {
+        h: max(
+            r.priority for r in FR.frontier_rows(urls, 0).collect() if r.host == h
+        )
+        for h in [f"h{i}.example" for i in range(4)]
+    }
+    expect = {h for h, _ in sorted(best.items(), key=lambda kv: -kv[1])[:2]}
+    got = {
+        r.host
+        for r in FR.politeness_dequeue(
+            fr, round_no=1, budget_per_host=5, max_hosts=2
+        ).collect()
+    }
+    assert got == expect

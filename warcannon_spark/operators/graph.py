@@ -93,6 +93,34 @@ def pagerank(
     return ranks
 
 
+LINK_HREF_RE = r'href="(https?://[^"]+)"'
+
+
+def host_edges(pages: DataFrame, host_col: str = "host", text_col: str = "text") -> DataFrame:
+    """pages(host, text) → host-level link edges (src, dst) from href
+    targets, self-loops/empty targets dropped (``pagerank`` dedups) —
+    the input the crawl-priority PageRank runs over."""
+    return (
+        pages.select(
+            F.col(host_col).alias("src"),
+            F.explode(
+                F.regexp_extract_all(text_col, F.lit(LINK_HREF_RE), F.lit(1))
+            ).alias("href"),
+        )
+        .select("src", F.regexp_extract("href", r"https?://([^/]+)", 1).alias("dst"))
+        .filter((F.col("src") != F.col("dst")) & (F.col("dst") != ""))
+    )
+
+
+def host_rank_priority(pages: DataFrame, iterations: int = 10) -> DataFrame:
+    """(host, priority) — PageRank over the page link graph, shaped for
+    ``politeness_dequeue(host_priority=...)`` / ``CrawlEngine(
+    host_priority=...)``: the principled "crawl important sites first"
+    signal replacing the reference's SQS arrival order."""
+    ranks = pagerank(host_edges(pages), iterations=iterations)
+    return ranks.select(F.col("node").alias("host"), F.col("rank").alias("priority"))
+
+
 def pagerank_oracle_sql(
     edges_cte: str, iterations: int = 10, damping: float = DAMPING
 ) -> str:

@@ -131,6 +131,8 @@ class CrawlEngine:
         bloom_min_candidates: int = 5000,
         broadcast_ceiling_rows: int = BROADCAST_CEILING_ROWS,
         cache_corpus: bool = False,
+        max_hosts_per_round: int | None = None,
+        host_priority: DataFrame | None = None,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -155,6 +157,15 @@ class CrawlEngine:
         # round (driver bottleneck + broadcast leak at web scale).
         self._rules: DataFrame | None = None
         self.budget = budget_per_host
+        # capacity-bound scheduling: when set, each round crawls only the
+        # top max_hosts_per_round hosts, ranked by host_priority (e.g.
+        # operators/graph.host_rank_priority — PageRank over the link
+        # graph) or by best frontier priority. The small (host, priority)
+        # table is cached once; dequeue broadcasts only the ≤K winners.
+        self.max_hosts_per_round = max_hosts_per_round
+        self.host_priority = (
+            host_priority.persist() if host_priority is not None else None
+        )
         self.P = num_partitions
         self.max_attempts = max_attempts
         self.use_bloom = use_bloom
@@ -377,7 +388,11 @@ class CrawlEngine:
         frontier = (self.frontier() if frontier is None else frontier).persist()
 
         batch = FR.politeness_dequeue(
-            frontier, round_no=rnd, budget_per_host=self.budget
+            frontier,
+            round_no=rnd,
+            budget_per_host=self.budget,
+            max_hosts=self.max_hosts_per_round,
+            host_priority=self.host_priority,
         ).persist()
         # materializes the persisted batch once; also the regime switch
         # input for fetch_join's broadcast ceiling.

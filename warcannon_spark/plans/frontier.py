@@ -102,6 +102,8 @@ def politeness_dequeue(
     frontier: DataFrame,
     round_no: int,
     budget_per_host: int,
+    max_hosts: int | None = None,
+    host_priority: DataFrame | None = None,
 ) -> DataFrame:
     """Take ≤ budget_per_host URLs per host from the eligible set, under
     the deterministic total order (priority desc, url_hash) — W1/W2/W3.
@@ -110,11 +112,35 @@ def politeness_dequeue(
     (round, host_rank, url_hash) is the pinned crawl order that replaces
     the reference's SQS arrival order (fixture-pinned, FIXTURES.md §6).
 
+    ``max_hosts`` caps the round to the top-K HOSTS — the capacity-bound
+    scheduler case ("which sites do we crawl this round?"). Hosts are
+    ranked by ``host_priority`` (host, priority — e.g. the PageRank
+    signal from operators/graph.host_rank_priority) when given, else by
+    each host's best frontier priority; unlisted hosts rank lowest,
+    ties break by host name. Scale shape: host selection runs on the
+    per-host AGGREGATE (one partial-agg shuffle of #hosts rows, tiny
+    next to the frontier), the winners (≤ max_hosts rows, bounded by
+    the cap itself) broadcast back as a semi-join — the frontier is
+    never shuffled for the cap.
+
     Skew safety WITHOUT an explicit salt phase: the ``row_number ≤ k``
     filter compiles to WindowGroupLimit Partial (map-side, pre-shuffle) +
     Final — plan-asserted in tests/test_plans.py. See module docstring.
     """
     elig = eligible_now(frontier, round_no)
+    if max_hosts is not None:
+        hosts = elig.groupBy("host").agg(F.max("priority").alias("__fp"))
+        if host_priority is not None:
+            ext = host_priority.select(
+                F.col(host_priority.columns[0]).alias("host"),
+                F.col(host_priority.columns[1]).cast("double").alias("__hp"),
+            )
+            hosts = hosts.join(ext, "host", "left").select(
+                "host",
+                F.coalesce("__hp", F.lit(float("-inf"))).alias("__fp"),
+            )
+        top = hosts.orderBy(F.desc("__fp"), "host").limit(max_hosts).select("host")
+        elig = elig.join(F.broadcast(top), "host", "left_semi")
     w = Window.partitionBy("host").orderBy(F.desc("priority"), "url_hash")
     return elig.withColumn("host_rank", F.row_number().over(w)).filter(
         F.col("host_rank") <= budget_per_host
