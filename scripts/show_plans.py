@@ -103,6 +103,70 @@ def main() -> None:
         )
     )
 
+    # round-3 surfaces ------------------------------------------------------
+    capped = FR.politeness_dequeue(
+        FR.frontier_rows(pages.select("url"), 0),
+        round_no=1,
+        budget_per_host=5,
+        max_hosts=3,
+        host_priority=spark.createDataFrame(
+            [("h0.example", 1.0)], "host string, priority double"
+        ),
+    )
+    capped_plan = plan_of(capped)
+    sections.append(
+        (
+            "capacity-capped dequeue (max_hosts + PageRank priority)",
+            capped_plan,
+            [
+                "host selection runs on the per-host AGGREGATE (partial "
+                "hash-agg, #hosts rows), not the frontier",
+                "the ≤K winning hosts come back as BroadcastHashJoin "
+                "LeftSemi — the frontier is never shuffled for the cap",
+            ],
+        )
+    )
+
+    from warcannon_spark.sources.ccindex import example_index_query
+
+    cc = example_index_query(spark, "/root/testdata/sf0.001")
+    cc_plan = plan_of(cc)
+    sections.append(
+        (
+            "ccindex campaign scoping (S6)",
+            cc_plan,
+            [
+                "PartitionFilters carry crawl + subset — a one-crawl query "
+                "prunes other crawls' files at METADATA level (~1/100th of "
+                "the 100 TB index before any row filter)",
+                "PushedFilters carries the registered-domain predicate into "
+                "the parquet scan",
+            ],
+        )
+    )
+
+    from warcannon_spark.operators.curation import decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dec = decontaminate(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        n=3,
+    )
+    dec_plan = plan_of(dec)
+    sections.append(
+        (
+            "decontaminate (benchmark n-gram overlap)",
+            dec_plan,
+            [
+                "the benchmark gram set is the BroadcastExchange side of the "
+                "gram join — the (100 TB) training side streams map-side and "
+                "never shuffles its grams; only per-doc overlap counts "
+                "aggregate",
+            ],
+        )
+    )
+
     out = ["# BENCH/PLANS.md — physical-plan evidence\n"]
     for title, plan, claims in sections:
         out.append(f"## {title}\n")
@@ -126,6 +190,9 @@ def main() -> None:
     assert "BroadcastHashJoin" in fetch_plan and "BroadcastExchange" in fetch_plan
     assert "SortMergeJoin" not in fetch_plan
     assert dq_plan.count("WindowGroupLimit") >= 2  # Partial + Final
+    assert "BroadcastHashJoin" in capped_plan and "LeftSemi" in capped_plan
+    assert "PartitionFilters" in cc_plan
+    assert "BroadcastExchange" in dec_plan
     print("plans written to BENCH/PLANS.md; matcher has", n_arrow, "ArrowEvalPython node")
     spark.stop()
 
