@@ -193,6 +193,8 @@ def main() -> None:
         "ann_cosine_topk",
         "event_sessions",
         "order_priority_counts",
+        "decontaminate",
+        "stratified_sample",
     ]:
         fn = QUERIES.get(name)
         if fn is None:
