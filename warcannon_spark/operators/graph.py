@@ -7,8 +7,9 @@ column for it).
 Spark-first shape: one join + one aggregate per iteration, all
 DataFrame-native. Per-iteration ``localCheckpoint`` keeps the plan flat
 (iterative-join lineage otherwise deepens unboundedly — same discipline
-as operators/dedup.dup_clusters). The dangling-mass scalar is collected
-per iteration — ONE row, not a driver-side data path.
+as operators/dedup.dup_clusters). The dangling-mass scalar stays on the
+executors as a broadcast one-row aggregate — no driver collect, one
+Spark job per iteration.
 
 Determinism across engines: the update is pure double arithmetic; sums
 may associate differently across engines/partitionings, so oracle-facing
@@ -74,19 +75,24 @@ def pagerank(
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
             .select(F.col("dst").alias("node"), "contrib")
         )
-        dangling = (
-            ranks.join(has_out, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]  # ONE scalar row per iteration
+        # dangling mass folded in as a broadcast ONE-ROW aggregate — no
+        # driver collect, so each iteration is a single Spark job (the
+        # eager checkpoint) instead of two.
+        dang = ranks.join(has_out, "node", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
         )
         ranks = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.col("__dangling") / n
+                    )
                 ).alias("rank"),
             )
         ).localCheckpoint(eager=True)
