@@ -50,7 +50,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.matcher import extract_matches, hits_from_match_lists
@@ -488,9 +488,9 @@ class CrawlEngine:
                 bloom = None
             novel = novel_urls(cand, seen, bloom).dropDuplicates(["url_hash"])
             new_rows = novel.persist()
-            discovered = new_rows.count()
-            self._last_novel = discovered
-            cand.unpersist()
+            # the novel count is OBSERVED during the commit write below —
+            # no dedicated count() action; cand stays cached until the
+            # write materializes new_rows (unpersisted at round end).
             _mark("novel_check")
 
         # round delta: replacement rows for touched URLs + discoveries —
@@ -520,8 +520,15 @@ class CrawlEngine:
         delta = FR.outcome_rows(
             outcomes, round_no=rnd, max_attempts=self.max_attempts
         )
-        if new_rows is not None and discovered > 0:
-            delta = delta.unionByName(new_rows)
+        novel_obs: Observation | None = None
+        if new_rows is not None:
+            # count rides the commit write (Observation), replacing the
+            # per-round count() action the round-3 profile showed costing
+            # ~1 job of pure scheduling; an empty union is harmless.
+            novel_obs = Observation()
+            delta = delta.unionByName(
+                new_rows.observe(novel_obs, F.count(F.lit(1)).alias("n"))
+            )
 
         # metrics: per-(round, partition) lineage (north_rule). ONE
         # union-aggregate over the already-persisted frames instead of a
@@ -565,10 +572,13 @@ class CrawlEngine:
         # log-append commit == ack (LAST, after all derived tables landed;
         # a crash before this point replays the round idempotently).
         self._commit_delta(delta, rnd)
+        if novel_obs is not None:
+            discovered = int(novel_obs.get["n"])
+            self._last_novel = discovered
         _mark("commit")
         # extend the maintained Bloom with the round's new keys (superset-
         # safe even if a later crash discards the commit — see invariant).
-        if new_rows is not None:
+        if new_rows is not None and discovered > 0:
             self._absorb_bloom_delta(new_rows, discovered)
             _mark("bloom_absorb")
 
@@ -577,6 +587,7 @@ class CrawlEngine:
         if gated is not None:
             gated.unpersist()
         if new_rows is not None:
+            cand.unpersist()
             new_rows.unpersist()
         return {
             "round": rnd,
@@ -599,22 +610,27 @@ class CrawlEngine:
 
     def t_matches_append(self, hits: DataFrame, rnd: int) -> int:
         """``hits`` must already be persisted by the caller: the append
-        projects from its cache, and the round's own count reads the same
-        cache — NOT a re-read of the whole matches table, which would
-        make every round pay O(total campaign matches) to report its own
-        count."""
+        projects from its cache, and the round's own count is OBSERVED on
+        the write job itself (no extra count() action, and NOT a re-read
+        of the whole matches table, which would make every round pay
+        O(total campaign matches) to report its own count)."""
         self._drop_orphans(self.t_matches, rnd)
-        out = hits.select(
-            F.lit(rnd).alias("round"),
-            "url",
-            "domain",
-            "pattern",
-            "value",
-            "value_sha1",
-            "partition_id",
-        ).coalesce(max(4, self.P // 8))
+        obs = Observation()
+        out = (
+            hits.select(
+                F.lit(rnd).alias("round"),
+                "url",
+                "domain",
+                "pattern",
+                "value",
+                "value_sha1",
+                "partition_id",
+            )
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .coalesce(max(4, self.P // 8))
+        )
         self.t_matches.write(out, mode="append", meta={"round": rnd})
-        return hits.count()
+        return int(obs.get["n"])
 
     def run(self, max_rounds: int = 100) -> list[dict]:
         """Run rounds until drained (R4) or max_rounds. Safe to call on a
