@@ -152,7 +152,11 @@ def main() -> None:
                 sum(s["dequeued"] for s in stats),
                 sum(s["matches"] for s in stats),
                 stages,
-                round(stats[-1]["dequeued"] / min(round_secs), 1),
+                # best round = max of each round's OWN rate (numerator and
+                # denominator must come from the same round)
+                round(
+                    max(s["dequeued"] / sec for s, sec in zip(stats, round_secs)), 1
+                ),
             )
         finally:
             shutil.rmtree(crawl_wd, ignore_errors=True)

@@ -324,3 +324,24 @@ def test_stratified_sample_nests_and_is_shuffle_free(spark):
     assert 0.1 < n_en / 667 < 0.35
     plan = lo._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_host_edges_normalizes_to_frontier_host_form(spark):
+    """The PageRank priority signal joins politeness_dequeue on host, so
+    host_edges must emit hosts in the FRONTIER's form: lowercased,
+    default ports stripped (a raw 'Example.COM:443' href would otherwise
+    silently miss the join and rank the host -inf)."""
+    from warcannon_spark.operators.graph import host_edges
+
+    pages = spark.createDataFrame(
+        [
+            ("MySite.Example", 'x href="https://Other.Example:443/p" y'),
+            ("a.example", 'href="https://b.example:8080/q"'),
+        ],
+        "host string, text string",
+    )
+    edges = {(r.src, r.dst) for r in host_edges(pages).collect()}
+    assert edges == {
+        ("mysite.example", "other.example"),
+        ("a.example", "b.example:8080"),  # non-default port kept
+    }

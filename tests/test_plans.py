@@ -13,6 +13,7 @@ rests on, pinned so they can't silently regress:
 from __future__ import annotations
 
 import io
+import os
 from contextlib import redirect_stdout
 
 from pyspark.sql import functions as F
@@ -221,11 +222,15 @@ def test_ccindex_repoints_when_sf_dir_changes(spark, sf_dir):
 
     ensure_ccindex(spark, sf_dir)
     first = location()
-    other = "/root/testdata/sf0.01"
+    other = (
+        "/root/testdata/sf0.01"
+        if "sf0.01" not in sf_dir
+        else "/root/testdata/sf0.001"
+    )
     ensure_ccindex(spark, other)
     second = location()
     assert second != first
-    assert second.rstrip("/").endswith("sf0.01")
+    assert second.rstrip("/").endswith(os.path.basename(other))
     # and back again — idempotence in both directions
     ensure_ccindex(spark, sf_dir)
     assert location() == first

@@ -65,17 +65,19 @@ def decontaminate(
 
     Scale shape: the benchmark gram set is deduped then BROADCAST (eval
     suites are tiny next to a 100 TB training corpus); the training side
-    is a map-side hash semi-probe per gram, aggregated per doc — the only
-    shuffle is the per-doc overlap count, bounded by contaminated docs.
-    Returns every training doc (n_overlap = 0 for clean ones) so the
-    output is a drop-in filter/audit table.
+    is a map-side hash probe per gram position — its grams are NEVER
+    shuffled wholesale (no pre-join distinct — dedup happens in the
+    count_distinct aggregate AFTER the broadcast probe, so only MATCHED
+    grams, bounded by contamination, reach the exchange). Returns every
+    training doc (n_overlap = 0 for clean ones) so the output is a
+    drop-in filter/audit table.
     """
     bench_grams = word_ngrams(bench, n, id_col, text_col).select("gram").distinct()
-    train_grams = word_ngrams(train, n, id_col, text_col).distinct()
     overlap = (
-        train_grams.join(F.broadcast(bench_grams), "gram")
+        word_ngrams(train, n, id_col, text_col)
+        .join(F.broadcast(bench_grams), "gram")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .agg(F.count_distinct("gram").alias("n_overlap"))
     )
     return (
         train.select(id_col)

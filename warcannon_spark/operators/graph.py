@@ -19,7 +19,7 @@ above any float-association drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DAMPING = 0.85
@@ -99,21 +99,37 @@ def pagerank(
     return ranks
 
 
+# The crawl loop's link-discovery regex — defined HERE and imported by
+# plans/crawl.py so the PageRank priority signal and the crawler extract
+# the same link set by construction.
 LINK_HREF_RE = r'href="(https?://[^"]+)"'
+
+
+def _norm_host(col: Column) -> Column:
+    """Normalize an href host to the frontier's host form: lowercase,
+    default ports stripped — matching what canonical_url + domain_of
+    produce for frontier rows, so the (host, priority) join in
+    politeness_dequeue actually hits. (Non-default ports are kept,
+    exactly as the canonicalizer keeps them.)"""
+    return F.regexp_replace(F.lower(col), r":(80|443)$", "")
 
 
 def host_edges(pages: DataFrame, host_col: str = "host", text_col: str = "text") -> DataFrame:
     """pages(host, text) → host-level link edges (src, dst) from href
-    targets, self-loops/empty targets dropped (``pagerank`` dedups) —
-    the input the crawl-priority PageRank runs over."""
+    targets, hosts normalized to the frontier form (lowercase, default
+    ports stripped), self-loops/empty targets dropped (``pagerank``
+    dedups) — the input the crawl-priority PageRank runs over."""
     return (
         pages.select(
-            F.col(host_col).alias("src"),
+            _norm_host(F.col(host_col)).alias("src"),
             F.explode(
                 F.regexp_extract_all(text_col, F.lit(LINK_HREF_RE), F.lit(1))
             ).alias("href"),
         )
-        .select("src", F.regexp_extract("href", r"https?://([^/]+)", 1).alias("dst"))
+        .select(
+            "src",
+            _norm_host(F.regexp_extract("href", r"https?://([^/]+)", 1)).alias("dst"),
+        )
         .filter((F.col("src") != F.col("dst")) & (F.col("dst") != ""))
     )
 

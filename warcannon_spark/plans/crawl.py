@@ -53,13 +53,14 @@ import time
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
+# LINK_RE is shared with the PageRank priority path so the scheduler
+# signal and the crawler extract the same link set by construction.
+from ..operators.graph import LINK_HREF_RE as LINK_RE
 from ..operators.matcher import extract_matches, hits_from_match_lists
 from ..sources.tableio import TableIO
 from . import frontier as FR
 from .bloom import BITS_PER_KEY, build_bloom, novel_urls, or_into_bloom
 from .robots import robots_gate, robots_rules
-
-LINK_RE = r'href="(https?://[^"]+)"'
 
 
 # Above this many leased rows the batch no longer broadcasts (a 10-byte-

@@ -121,7 +121,12 @@ def politeness_dequeue(
     per-host AGGREGATE (one partial-agg shuffle of #hosts rows, tiny
     next to the frontier), the winners (≤ max_hosts rows, bounded by
     the cap itself) broadcast back as a semi-join — the frontier is
-    never shuffled for the cap.
+    never shuffled for the cap. NOTE the eligible set is consumed twice
+    on this path (aggregate + probe): pass a persisted or table-backed
+    frontier (CrawlEngine persists its frontier per round; a
+    parquet-backed frontier's aggregate re-scan prunes to 3 columns),
+    not a lazily-derived frontier_rows() chain whose canonicalize UDF
+    would run twice.
 
     Skew safety WITHOUT an explicit salt phase: the ``row_number ≤ k``
     filter compiles to WindowGroupLimit Partial (map-side, pre-shuffle) +

@@ -554,25 +554,13 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority (feeds politeness_dequeue's priority column). Oracle =
     the same update rule with iterations unrolled as chained DuckDB
     CTEs; ranks compared as micro-rank BIGINTs."""
-    from .operators.graph import pagerank
+    from .operators.graph import host_edges, pagerank
 
     pages = pages_df(spark, sf_dir)
-    links = (
-        pages.select(
-            F.col("host").alias("src"),
-            F.explode(
-                F.regexp_extract_all(
-                    "text", F.lit(r'href="(https?://[^"]+)"'), F.lit(1)
-                )
-            ).alias("href"),
-        )
-        .select(
-            "src",
-            F.regexp_extract("href", r"https?://([^/]+)", 1).alias("dst"),
-        )
-        .filter((F.col("src") != F.col("dst")) & (F.col("dst") != ""))
-    )
-    ranks = pagerank(links, iterations=10)
+    # host normalization inside host_edges is a no-op on the synthetic
+    # corpus (hosts are already lowercase, portless), so the DuckDB CTE
+    # below stays a faithful twin
+    ranks = pagerank(host_edges(pages), iterations=10)
     return ranks.select(
         "node",
         F.round(F.col("rank") * 1000000).cast("long").alias("rank_e6"),
