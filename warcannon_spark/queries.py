@@ -471,6 +471,89 @@ def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "shipping_priority",
+    """SELECT l_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_tenthmils,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_tenthmils DESC, l_orderkey LIMIT 10""",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter (customer segment) broadcast
+    through two joins, both fact-side predicates pushed to the scans,
+    then a grouped top-k with deterministic tie-break. The segment
+    filter + date pushdowns prune before any shuffle; at 100 TB the only
+    wide exchange is the l_orderkey aggregate."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).alias("revenue_tenthmils")
+        )
+        .select(
+            "l_orderkey",
+            "revenue_tenthmils",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue_tenthmils"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_q(
+    "small_quantity_revenue",
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       count(*) AS n_lines
+FROM lineitem l
+WHERE l.l_quantity * 5 < (
+  SELECT sum(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)""",
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: a correlated scalar subquery (per-part average
+    gate) DECORRELATED by hand into one per-part aggregate + an equi-join
+    — the plan Spark's own decorrelation would produce, written
+    explicitly so the shape is pinned: one partial/final hash aggregate
+    of lineitem keyed by l_partkey, joined back, then a single global
+    fold. The integer-5x formulation (qty*5 < sum) avoids float
+    averages so the cross-engine compare is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("l_quantity").alias("__sum_qty")
+    )
+    return (
+        li.join(per_part, li.l_partkey == F.col("__pk"))
+        .filter(F.col("l_quantity") * 5 < F.col("__sum_qty"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_q(
     "top_customers",
     """SELECT c_custkey, c_name,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
