@@ -367,3 +367,45 @@ def test_dequeue_max_hosts_prioritized_and_broadcast(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_crawl_delay_budgets_tighten_dequeue(spark):
+    """Robots Crawl-delay → per-host budget: a host declaring delay 10
+    in a 30-second round gets floor(30/10)=3 URLs, an undeclared host
+    keeps the default, a malformed/other-agent delay is ignored — and
+    the literal WindowGroupLimit still bounds skew map-side (the
+    tightening join runs AFTER the literal window limit)."""
+    from warcannon_spark.plans import frontier as FR
+    from warcannon_spark.plans.robots import crawl_delay_budgets, parse_crawl_delay
+
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: 2.5") == 2.5
+    assert parse_crawl_delay("User-agent: bot\nCrawl-delay: 2") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: nope") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: -3") is None
+
+    robots = spark.createDataFrame(
+        [
+            ("slow.example", "User-agent: *\nCrawl-delay: 10\nDisallow: /x"),
+            ("fast.example", "User-agent: *\nDisallow: /y"),
+            ("otherbot.example", "User-agent: bot\nCrawl-delay: 1"),
+        ],
+        "host string, robots_txt string",
+    )
+    budgets = crawl_delay_budgets(robots, round_seconds=30, default_budget=8)
+    assert {(r.host, r.budget) for r in budgets.collect()} == {("slow.example", 3)}
+
+    urls = spark.createDataFrame(
+        [(f"https://slow.example/p/{i}",) for i in range(20)]
+        + [(f"https://fast.example/p/{i}",) for i in range(20)],
+        "url string",
+    )
+    fr = FR.frontier_rows(urls, round_no=0, num_partitions=8)
+    batch = FR.politeness_dequeue(
+        fr, round_no=1, budget_per_host=8, host_budgets=budgets
+    )
+    per_host = {}
+    for r in batch.collect():
+        per_host[r.host] = per_host.get(r.host, 0) + 1
+    assert per_host == {"slow.example": 3, "fast.example": 8}
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final intact

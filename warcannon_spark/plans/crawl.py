@@ -60,7 +60,7 @@ from ..operators.matcher import extract_matches, hits_from_match_lists
 from ..sources.tableio import TableIO
 from . import frontier as FR
 from .bloom import BITS_PER_KEY, build_bloom, novel_urls, or_into_bloom
-from .robots import robots_gate, robots_rules
+from .robots import crawl_delay_budgets, robots_gate, robots_rules
 
 
 # Above this many leased rows the batch no longer broadcasts (a 10-byte-
@@ -134,6 +134,7 @@ class CrawlEngine:
         cache_corpus: bool = False,
         max_hosts_per_round: int | None = None,
         host_priority: DataFrame | None = None,
+        round_seconds: float | None = None,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -158,6 +159,14 @@ class CrawlEngine:
         # round (driver bottleneck + broadcast leak at web scale).
         self._rules: DataFrame | None = None
         self.budget = budget_per_host
+        # robots Crawl-delay → per-host budget tightening: with a round
+        # wall-clock target, a host declaring Crawl-delay D gets at most
+        # floor(round_seconds / D) URLs per round (cached tiny table).
+        self._host_budgets: DataFrame | None = None
+        if robots is not None and round_seconds is not None:
+            self._host_budgets = crawl_delay_budgets(
+                robots, round_seconds, budget_per_host
+            ).persist()
         # capacity-bound scheduling: when set, each round crawls only the
         # top max_hosts_per_round hosts, ranked by host_priority (e.g.
         # operators/graph.host_rank_priority — PageRank over the link
@@ -394,6 +403,7 @@ class CrawlEngine:
             budget_per_host=self.budget,
             max_hosts=self.max_hosts_per_round,
             host_priority=self.host_priority,
+            host_budgets=self._host_budgets,
         ).persist()
         # materializes the persisted batch once; also the regime switch
         # input for fetch_join's broadcast ceiling.

@@ -104,9 +104,18 @@ def politeness_dequeue(
     budget_per_host: int,
     max_hosts: int | None = None,
     host_priority: DataFrame | None = None,
+    host_budgets: DataFrame | None = None,
 ) -> DataFrame:
     """Take ≤ budget_per_host URLs per host from the eligible set, under
     the deterministic total order (priority desc, url_hash) — W1/W2/W3.
+
+    ``host_budgets`` (host, budget) TIGHTENS the per-host cap below the
+    default for listed hosts (robots Crawl-delay allowances — see
+    robots.crawl_delay_budgets); it is applied as a join + filter AFTER
+    the literal ``host_rank <= budget_per_host`` window limit, so the
+    map-side WindowGroupLimit optimization (a LITERAL-limit rewrite)
+    still bounds every host's rows before the shuffle, and the join
+    touches only the already-capped batch.
 
     Output = the leased batch with ``host_rank`` (1..budget). The order
     (round, host_rank, url_hash) is the pinned crawl order that replaces
@@ -147,9 +156,23 @@ def politeness_dequeue(
         top = hosts.orderBy(F.desc("__fp"), "host").limit(max_hosts).select("host")
         elig = elig.join(F.broadcast(top), "host", "left_semi")
     w = Window.partitionBy("host").orderBy(F.desc("priority"), "url_hash")
-    return elig.withColumn("host_rank", F.row_number().over(w)).filter(
+    out = elig.withColumn("host_rank", F.row_number().over(w)).filter(
         F.col("host_rank") <= budget_per_host
     )
+    if host_budgets is not None:
+        hb = host_budgets.select(
+            F.col(host_budgets.columns[0]).alias("host"),
+            F.col(host_budgets.columns[1]).cast("int").alias("__budget"),
+        )
+        out = (
+            out.join(hb, "host", "left")
+            .filter(
+                F.col("host_rank")
+                <= F.coalesce("__budget", F.lit(budget_per_host))
+            )
+            .drop("__budget")
+        )
+    return out
 
 
 def politeness_dequeue_salted(

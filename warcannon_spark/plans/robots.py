@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
+    DoubleType,
     StringType,
     StructField,
     StructType,
@@ -61,6 +62,37 @@ def parse_robots_txt(txt: str, agent: str = "*") -> list[tuple[str, bool]]:
             if key in ("allow", "disallow") and applies and val:
                 rules.append((val, key == "allow"))
     return rules
+
+
+def parse_crawl_delay(txt: str, agent: str = "*") -> float | None:
+    """robots.txt text → the ``Crawl-delay`` (seconds) of the given agent
+    group, or None. Same group semantics as ``parse_robots_txt``;
+    malformed/non-positive values are ignored."""
+    delay: float | None = None
+    applies = False
+    in_ua_block = False
+    for raw in (txt or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_ua_block:
+                applies = False
+                in_ua_block = True
+            applies = applies or val == agent
+        else:
+            in_ua_block = False
+            if key == "crawl-delay" and applies:
+                try:
+                    v = float(val)
+                except ValueError:
+                    continue
+                if v > 0:
+                    delay = v
+    return delay
 
 
 _RULE_ELEM = StructType(
@@ -97,6 +129,42 @@ def robots_rules(robots: DataFrame) -> DataFrame:
             F.col("r.is_allow").alias("is_allow"),
             F.length("r.prefix").alias("rule_len"),
         )
+    )
+
+
+@F.pandas_udf(DoubleType())  # DataType object: a DDL string here would
+# need an active SparkContext at import time
+def _parse_delay_udf(txts: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            parse_crawl_delay(t if isinstance(t, str) else "")
+            for t in txts
+        ],
+        dtype="float64",
+    )
+
+
+def crawl_delay_budgets(
+    robots: DataFrame, round_seconds: float, default_budget: int
+) -> DataFrame:
+    """robots(host, robots_txt) → (host, budget) for hosts that declare a
+    ``Crawl-delay``: budget = min(default, floor(round_seconds / delay))
+    — the per-round URL allowance that honors the delay given the
+    round's wall-clock. Hosts without a delay produce no row (the
+    dequeue's default budget applies). Parsed executor-side like
+    ``robots_rules``; the result is tiny (≤ one row per delay-declaring
+    host) and is meant to be persisted by the engine across rounds."""
+    delays = robots.select(
+        "host", _parse_delay_udf(F.col("robots_txt")).alias("__delay")
+    ).filter(F.col("__delay").isNotNull())
+    return delays.select(
+        "host",
+        F.least(
+            F.lit(default_budget),
+            F.floor(F.lit(float(round_seconds)) / F.col("__delay")),
+        )
+        .cast("int")
+        .alias("budget"),
     )
 
 

@@ -336,6 +336,46 @@ def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "politeness_crawl_delay",
+    f"""WITH {PAGES_CTE},
+ranked AS (
+  SELECT host, url,
+    CAST(regexp_extract(host, 'h(\\d+)', 1) AS INT) AS hid,
+    row_number() OVER (PARTITION BY host ORDER BY priority DESC, url) AS host_rank
+  FROM pages)
+SELECT host, url, host_rank FROM ranked
+WHERE host_rank <= CASE WHEN hid % 3 = 0 THEN 3 ELSE 5 END""",
+)
+def q_politeness_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots ``Crawl-delay`` honored as a per-host budget: hosts whose
+    robots.txt declares delay 10 in a 30-second round are tightened to
+    floor(30/10)=3 URLs, others keep the default 5. Runs the REAL parse
+    path (synthetic robots.txt per host → crawl_delay_budgets →
+    budget-tightened window), oracle recomputes the arithmetic in SQL."""
+    from .plans.robots import crawl_delay_budgets
+
+    pages = pages_df(spark, sf_dir)
+    hid = F.regexp_extract("host", r"h(\d+)", 1).cast("int")
+    robots = pages.select("host").distinct().select(
+        "host",
+        F.when(
+            hid % 3 == 0, F.lit("User-agent: *\nCrawl-delay: 10\nDisallow: /x")
+        )
+        .otherwise(F.lit("User-agent: *\nDisallow: /x"))
+        .alias("robots_txt"),
+    )
+    budgets = crawl_delay_budgets(robots, round_seconds=30, default_budget=5)
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), "url")
+    return (
+        pages.withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("host_rank") <= 5)
+        .join(budgets, "host", "left")
+        .filter(F.col("host_rank") <= F.coalesce("budget", F.lit(5)))
+        .select("host", "url", "host_rank")
+    )
+
+
+@_q(
     "robots_gate",
     f"""WITH {PAGES_CTE},
 annotated AS (
