@@ -345,3 +345,35 @@ def test_host_edges_normalizes_to_frontier_host_form(spark):
         ("mysite.example", "other.example"),
         ("a.example", "b.example:8080"),  # non-default port kept
     }
+
+
+def test_word_ngrams_property_matches_python_reference(spark):
+    """Property: the native-expression n-gram plan (shared by
+    decontaminate and the MinHash shingles) agrees with a plain Python
+    reference on arbitrary token sequences — including docs shorter than
+    the window, empty tokens from double spaces, and n=1."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from warcannon_spark.operators.curation import word_ngrams
+
+    token = st.text(alphabet="abc ", min_size=0, max_size=4)
+    docs_strategy = st.lists(
+        st.lists(token, min_size=0, max_size=12), min_size=1, max_size=6
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(docs=docs_strategy, n=st.integers(min_value=1, max_value=4))
+    def check(docs, n):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted((r.doc_id, r.gram) for r in word_ngrams(df, n=n).collect())
+        want = []
+        for i, text in rows:
+            w = text.split(" ")  # Spark split semantics: "" stays a token
+            if len(w) >= n:
+                for j in range(len(w) - n + 1):
+                    want.append((i, " ".join(w[j : j + n])))
+        assert got == sorted(want)
+
+    check()
