@@ -1329,9 +1329,10 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
-@_q(
-    "training_corpus_filter",
-    f"""WITH RECURSIVE {_simhash_cte()},
+def _tcf_ctes() -> str:
+    """CTE chain ending in clusters/quality/lang — shared by
+    training_corpus_filter and curation_pipeline."""
+    return f"""{_simhash_cte()},
 bands AS (
 {chr(10).join(f"  SELECT doc_id, {b} AS band, (simhash >> {b * 15}) & {(1 << 15) - 1} AS band_val FROM sim"
               + (" UNION ALL" if b < 3 else "") for b in range(4))}
@@ -1373,7 +1374,12 @@ lang AS (
         len(list_filter(string_split(text, ' '), t -> t IN ('der','und','das'))))
       AS is_en
   FROM documents
-)
+)"""
+
+
+@_q(
+    "training_corpus_filter",
+    f"""WITH RECURSIVE {_tcf_ctes()}
 SELECT d.doc_id, c.cluster_id
 FROM documents d
 JOIN clusters c ON c.doc_id = d.doc_id
@@ -1406,6 +1412,71 @@ def q_training_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("is_quality") == 1) & (F.col("pred_lang") == "en"))
         .select("doc_id", "cluster_id")
     )
+
+
+@_q(
+    "curation_pipeline",
+    f"""WITH RECURSIVE {_tcf_ctes()},
+tcf AS (
+  SELECT d.doc_id, c.cluster_id
+  FROM documents d
+  JOIN clusters c ON c.doc_id = d.doc_id
+  JOIN quality q ON q.doc_id = d.doc_id
+  JOIN lang l ON l.doc_id = d.doc_id
+  WHERE q.is_quality AND l.is_en AND c.cluster_id = d.doc_id
+),
+tokd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(w[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS gram
+  FROM tokd, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+dirty AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN bench USING (gram)
+  WHERE g.doc_id % 50 <> 0
+),
+clean AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+),
+samp AS (
+  SELECT doc_id FROM documents
+  WHERE CAST(('0x' || substr(md5('samp|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        % 100
+      < (CASE lang WHEN 'en' THEN 80 WHEN 'es' THEN 50 WHEN 'de' THEN 30
+         ELSE 10 END)
+)
+SELECT tcf.doc_id, tcf.cluster_id
+FROM tcf JOIN clean USING (doc_id) JOIN samp USING (doc_id)""",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL training-data curation pipeline as one composed plan —
+    every curation stage this engine implements, chained: keep documents
+    that (1) pass the quality gate, (2) classify as English, (3) are the
+    canonical member of their near-dup cluster, (4) share no verbatim
+    n-gram with the held-out benchmark split, and (5) survive the
+    deterministic per-language downsampling. Stages 1-3 reuse
+    training_corpus_filter's plan; 4-5 are broadcast-probe /
+    map-side-filter joins, so the composition adds no wide shuffle
+    beyond the per-doc overlap counts."""
+    from .operators.curation import decontaminate, stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    tcf = q_training_corpus_filter(spark, sf_dir)
+    clean = (
+        decontaminate(
+            docs.filter(F.col("doc_id") % 50 != 0),
+            docs.filter(F.col("doc_id") % 50 == 0),
+            n=3,
+        )
+        .filter(F.col("contaminated") == 0)
+        .select("doc_id")
+    )
+    samp = stratified_sample(
+        docs, rates_pct={"en": 80, "es": 50, "de": 30}, default_pct=10
+    ).select("doc_id")
+    return tcf.join(clean, "doc_id").join(samp, "doc_id")
+
 
 
 @_q("regex_cost_profile")  # rows-only: wall-clock telemetry is nondeterministic
