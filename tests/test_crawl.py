@@ -377,3 +377,40 @@ def test_engine_pagerank_host_cap_crawls_top_host_first(spark, tmp_path):
     fin = eng.frontier().collect()
     assert all(r.status != "pending" for r in fin)  # drained despite the cap
     assert any(r.host == "h1.example" and r.status == "done" for r in fin)
+
+
+def test_engine_round_seconds_applies_crawl_delay_budget(spark, tmp_path):
+    """CrawlEngine(round_seconds=...) must tighten the per-host dequeue
+    to the robots Crawl-delay allowance: h0 declares delay 10, so a
+    20-second round leases floor(20/10)=2 h0 URLs instead of the default
+    budget 12, while undeclared hosts keep the default."""
+    delay_robots = spark.createDataFrame(
+        [
+            ("h0.example", "User-agent: *\nCrawl-delay: 10"),
+            ("h1.example", "User-agent: *\nDisallow: /private"),
+        ],
+        "host string, robots_txt string",
+    )
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path),
+        pages=corpus(spark),
+        robots=delay_robots,
+        budget_per_host=12,
+        num_partitions=8,
+        round_seconds=20,
+    )
+    eng.seed(
+        spark.createDataFrame(
+            [(f"https://h0.example/p/{i}",) for i in range(12)]
+            + [(f"https://h1.example/q/{i}",) for i in range(12)],
+            "url string",
+        )
+    )
+    stats = eng.run_round()
+    fr = eng.frontier().collect()
+    done_h0 = sum(1 for r in fr if r.host == "h0.example" and r.status == "done")
+    done_h1 = sum(1 for r in fr if r.host == "h1.example" and r.status == "done")
+    assert done_h0 == 2  # floor(20 / 10)
+    assert done_h1 == 12  # default budget
+    assert stats["dequeued"] == 14
