@@ -224,8 +224,17 @@ campaign telemetry ≈ 24.7k pages/s/node on a 72-vCPU c5n.18xlarge
 {r32['pages_per_sec']:,.0f} pages/s ≈ {r32['pages_per_sec']/32:,.0f} pages/s/core
 ({r32['pages_per_sec']/24700:.1f}× the reference node on {32/72:.2f}× the vCPUs).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # Preserve the manually-maintained cross-run variance section: only
+    # the headline (latest-run) portion above it is regenerated.
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        marker = "## Cross-run variance"
+        if marker in prev:
+            tail = "\n" + prev[prev.index(marker):]
+    with open(path, "w") as f:
+        f.write(md + tail)
     print(f"match efficiency:   {eff_match:.3f}")
     print(f"dequeue efficiency: {eff_deq:.3f}")
 
