@@ -145,8 +145,7 @@ def main() -> None:
                 round_secs.append(time.time() - t0)
             dt = sum(round_secs)
             stages = dict(eng.last_timings)
-            if cache_corpus:
-                eng.pages.unpersist()
+            eng.close()  # release all engine caches (corpus, bloom, ...)
             return (
                 dt,
                 sum(s["dequeued"] for s in stats),

@@ -414,3 +414,20 @@ def test_engine_round_seconds_applies_crawl_delay_budget(spark, tmp_path):
     assert done_h0 == 2  # floor(20 / 10)
     assert done_h1 == 12  # default budget
     assert stats["dequeued"] == 14
+
+
+def test_engine_close_releases_caches_and_resume_still_works(spark, tmp_path):
+    """close() must drop every engine-persisted frame (storage goes back
+    to empty) without touching on-disk campaign state — a fresh engine on
+    the same workdir resumes and drains normally."""
+    eng = make_engine(spark, tmp_path, cache_corpus=True)
+    eng.seed(seeds(spark))
+    eng.run_round()
+    eng.close()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
+    resumed = make_engine(spark, tmp_path)
+    assert resumed.round_no == 1
+    resumed.run(max_rounds=20)
+    assert resumed.drained()
+    resumed.close()

@@ -655,3 +655,24 @@ class CrawlEngine:
                 break
             log.append(self.run_round(frontier))
         return log
+
+    def close(self) -> None:
+        """Release every frame this engine persisted (corpus cache,
+        robots rules, crawl-delay budgets, host priorities, the Bloom
+        filters, the resolved-frontier cache). Campaign state on disk is
+        untouched — a new engine on the same workdir resumes normally.
+        Long sessions that build several engines (benchmarks, notebook
+        experiments) should call this; otherwise the caches live until
+        the SparkSession ends."""
+        for df in (
+            self.pages,
+            self._rules,
+            self._host_budgets,
+            self.host_priority,
+            self._resolved,
+        ):
+            if df is not None:
+                df.unpersist()
+        self._drop_bloom()
+        self._resolved = None
+        self._rules = None
