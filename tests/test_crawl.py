@@ -417,15 +417,19 @@ def test_engine_round_seconds_applies_crawl_delay_budget(spark, tmp_path):
 
 
 def test_engine_close_releases_caches_and_resume_still_works(spark, tmp_path):
-    """close() must drop every engine-persisted frame (storage goes back
-    to empty) without touching on-disk campaign state — a fresh engine on
-    the same workdir resumes and drains normally."""
+    """close() must drop every frame THIS engine persisted (persistent-RDD
+    count returns to the pre-engine baseline — the suite session may
+    carry caches from other tests) without touching on-disk campaign
+    state — a fresh engine on the same workdir resumes and drains
+    normally."""
+    jsc = spark.sparkContext._jsc.sc()
+    baseline = jsc.getPersistentRDDs().size()
     eng = make_engine(spark, tmp_path, cache_corpus=True)
     eng.seed(seeds(spark))
     eng.run_round()
+    assert jsc.getPersistentRDDs().size() > baseline  # engine did cache
     eng.close()
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0
+    assert jsc.getPersistentRDDs().size() <= baseline
     resumed = make_engine(spark, tmp_path)
     assert resumed.round_no == 1
     resumed.run(max_rounds=20)

@@ -594,6 +594,34 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "order_count_distribution",
+    """SELECT order_count, count(*) AS n_customers
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS order_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY order_count""",
+)
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join so customers with zero orders
+    survive into the 0 bucket, then a two-level aggregate — per-customer
+    count, then the histogram. The second aggregate's input is one row
+    per customer, so the histogram shuffle is tiny regardless of fact
+    size; only the first (map-side-combined) aggregate sees order rows."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    return per_cust.groupBy("order_count").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@_q(
     "top_customers",
     """SELECT c_custkey, c_name,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
