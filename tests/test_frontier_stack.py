@@ -409,3 +409,44 @@ def test_crawl_delay_budgets_tighten_dequeue(spark):
     assert per_host == {"slow.example": 3, "fast.example": 8}
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert plan.count("WindowGroupLimit") >= 2  # Partial + Final intact
+
+
+def test_crawl_delay_longer_than_round_clamps_to_one(spark):
+    """A Crawl-delay LONGER than the round must clamp to budget 1 (one
+    URL per round), never 0 — budget 0 would leave the host's pending
+    rows eligible forever and the campaign could never drain. Duplicate
+    host rows in the robots table (refetched robots.txt) must collapse
+    to ONE budget row (min wins) so the dequeue's budget join cannot fan
+    out the leased batch; Crawl-delay: inf is ignored."""
+    from warcannon_spark.plans import frontier as FR
+    from warcannon_spark.plans.robots import crawl_delay_budgets, parse_crawl_delay
+
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: inf") is None
+
+    robots = spark.createDataFrame(
+        [
+            ("slow.example", "User-agent: *\nCrawl-delay: 60"),
+            ("dup.example", "User-agent: *\nCrawl-delay: 10"),
+            ("dup.example", "User-agent: *\nCrawl-delay: 15"),
+        ],
+        "host string, robots_txt string",
+    )
+    budgets = crawl_delay_budgets(robots, round_seconds=30, default_budget=8)
+    got = {(r.host, r.budget) for r in budgets.collect()}
+    assert got == {("slow.example", 1), ("dup.example", 2)}  # min(3, 2) = 2
+
+    urls = spark.createDataFrame(
+        [(f"https://slow.example/p/{i}",) for i in range(5)]
+        + [(f"https://dup.example/p/{i}",) for i in range(5)],
+        "url string",
+    )
+    fr = FR.frontier_rows(urls, round_no=0, num_partitions=8)
+    batch = FR.politeness_dequeue(
+        fr, round_no=1, budget_per_host=8, host_budgets=budgets
+    )
+    rows = batch.collect()
+    assert len(rows) == len({r.url_hash for r in rows})  # no fan-out dups
+    per_host = {}
+    for r in rows:
+        per_host[r.host] = per_host.get(r.host, 0) + 1
+    assert per_host == {"slow.example": 1, "dup.example": 2}

@@ -151,6 +151,7 @@ class CrawlEngine:
         # default and benchmarks report cached and cold numbers side by
         # side.
         self.pages = pages.select("url", "text")
+        self._cache_corpus = cache_corpus
         if cache_corpus:
             self.pages = self.pages.persist()
         self.robots = robots
@@ -162,11 +163,10 @@ class CrawlEngine:
         # robots Crawl-delay → per-host budget tightening: with a round
         # wall-clock target, a host declaring Crawl-delay D gets at most
         # floor(round_seconds / D) URLs per round (cached tiny table).
+        # built lazily on first dequeue (and rebuilt after close()),
+        # mirroring the _rules cache lifecycle
         self._host_budgets: DataFrame | None = None
-        if robots is not None and round_seconds is not None:
-            self._host_budgets = crawl_delay_budgets(
-                robots, round_seconds, budget_per_host
-            ).persist()
+        self._round_seconds = round_seconds
         # capacity-bound scheduling: when set, each round crawls only the
         # top max_hosts_per_round hosts, ranked by host_priority (e.g.
         # operators/graph.host_rank_priority — PageRank over the link
@@ -397,6 +397,18 @@ class CrawlEngine:
         rnd = self.round_no + 1
         frontier = (self.frontier() if frontier is None else frontier).persist()
 
+        # re-establish per-engine caches lazily (first round, or first
+        # round after close())
+        if self._cache_corpus and not self.pages.is_cached:
+            self.pages = self.pages.persist()
+        if (
+            self._host_budgets is None
+            and self.robots is not None
+            and self._round_seconds is not None
+        ):
+            self._host_budgets = crawl_delay_budgets(
+                self.robots, self._round_seconds, self.budget
+            ).persist()
         batch = FR.politeness_dequeue(
             frontier,
             round_no=rnd,
@@ -676,3 +688,4 @@ class CrawlEngine:
         self._drop_bloom()
         self._resolved = None
         self._rules = None
+        self._host_budgets = None  # rebuilt+re-persisted lazily on reuse

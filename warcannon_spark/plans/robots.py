@@ -39,10 +39,11 @@ from pyspark.sql.types import (
 )
 
 
-def parse_robots_txt(txt: str, agent: str = "*") -> list[tuple[str, bool]]:
-    """robots.txt text → [(prefix, is_allow), ...] for the given agent
-    group (default the wildcard group)."""
-    rules: list[tuple[str, bool]] = []
+def _iter_group_directives(txt: str, agent: str):
+    """Yield (key, val) for each non-User-agent directive line that falls
+    inside a group applying to ``agent`` — THE group-semantics state
+    machine, shared by both parsers so they cannot diverge: consecutive
+    User-agent lines open a group, comments stripped, keys lowercased."""
     applies = False
     in_ua_block = False
     for raw in (txt or "").splitlines():
@@ -59,39 +60,36 @@ def parse_robots_txt(txt: str, agent: str = "*") -> list[tuple[str, bool]]:
             applies = applies or val == agent
         else:
             in_ua_block = False
-            if key in ("allow", "disallow") and applies and val:
-                rules.append((val, key == "allow"))
-    return rules
+            if applies:
+                yield key, val
+
+
+def parse_robots_txt(txt: str, agent: str = "*") -> list[tuple[str, bool]]:
+    """robots.txt text → [(prefix, is_allow), ...] for the given agent
+    group (default the wildcard group)."""
+    return [
+        (val, key == "allow")
+        for key, val in _iter_group_directives(txt, agent)
+        if key in ("allow", "disallow") and val
+    ]
 
 
 def parse_crawl_delay(txt: str, agent: str = "*") -> float | None:
     """robots.txt text → the ``Crawl-delay`` (seconds) of the given agent
-    group, or None. Same group semantics as ``parse_robots_txt``;
-    malformed/non-positive values are ignored."""
+    group, or None. Same group semantics as ``parse_robots_txt`` (shared
+    directive iterator); malformed, non-positive, and non-finite values
+    are ignored."""
+    import math
+
     delay: float | None = None
-    applies = False
-    in_ua_block = False
-    for raw in (txt or "").splitlines():
-        line = raw.split("#", 1)[0].strip()
-        if not line or ":" not in line:
-            continue
-        key, _, val = line.partition(":")
-        key = key.strip().lower()
-        val = val.strip()
-        if key == "user-agent":
-            if not in_ua_block:
-                applies = False
-                in_ua_block = True
-            applies = applies or val == agent
-        else:
-            in_ua_block = False
-            if key == "crawl-delay" and applies:
-                try:
-                    v = float(val)
-                except ValueError:
-                    continue
-                if v > 0:
-                    delay = v
+    for key, val in _iter_group_directives(txt, agent):
+        if key == "crawl-delay":
+            try:
+                v = float(val)
+            except ValueError:
+                continue
+            if math.isfinite(v) and v > 0:
+                delay = v
     return delay
 
 
@@ -148,23 +146,38 @@ def crawl_delay_budgets(
     robots: DataFrame, round_seconds: float, default_budget: int
 ) -> DataFrame:
     """robots(host, robots_txt) → (host, budget) for hosts that declare a
-    ``Crawl-delay``: budget = min(default, floor(round_seconds / delay))
-    — the per-round URL allowance that honors the delay given the
-    round's wall-clock. Hosts without a delay produce no row (the
-    dequeue's default budget applies). Parsed executor-side like
+    ``Crawl-delay``: budget = clamp(floor(round_seconds / delay), 1,
+    default) — the per-round URL allowance that honors the delay given
+    the round's wall-clock. A delay LONGER than the round clamps to 1
+    (one URL per round is the closest the round granularity can honor
+    without starving the host forever — budget 0 would leave its pending
+    rows eligible every round and the campaign would never drain). Hosts
+    without a delay produce no row (the dequeue's default budget
+    applies). EXACTLY one output row per host even if the robots table
+    carries duplicate host rows (refetched robots.txt): min-budget wins,
+    because a duplicate-host row surviving into the dequeue's budget
+    join would fan out the leased batch and break the frontier's
+    unique-per-url_hash delta invariant. Parsed executor-side like
     ``robots_rules``; the result is tiny (≤ one row per delay-declaring
     host) and is meant to be persisted by the engine across rounds."""
     delays = robots.select(
         "host", _parse_delay_udf(F.col("robots_txt")).alias("__delay")
     ).filter(F.col("__delay").isNotNull())
-    return delays.select(
-        "host",
-        F.least(
-            F.lit(default_budget),
-            F.floor(F.lit(float(round_seconds)) / F.col("__delay")),
+    return (
+        delays.select(
+            "host",
+            F.greatest(
+                F.lit(1),
+                F.least(
+                    F.lit(default_budget),
+                    F.floor(F.lit(float(round_seconds)) / F.col("__delay")),
+                ),
+            )
+            .cast("int")
+            .alias("budget"),
         )
-        .cast("int")
-        .alias("budget"),
+        .groupBy("host")
+        .agg(F.min("budget").alias("budget"))
     )
 
 
