@@ -257,8 +257,14 @@ class CrawlEngine:
             .drop("__rn")
         )
 
-    def _commit_delta(self, delta: DataFrame, rnd: int) -> None:
+    def _commit_delta(
+        self, delta: DataFrame | None, rnd: int, data_dir: str | None = None
+    ) -> None:
         """Append the round's touched rows; this snapshot IS the ack.
+        ``data_dir``: an already-materialized delta dir (write_data) —
+        run_round overlaps the delta write with the other table writes
+        and passes the dir here so only the manifest commit + resolved-
+        cache advance remain on the critical path.
         Afterwards advance the resolved cache incrementally: the delta is
         read BACK from the committed dir (no recompute, all inputs on
         disk) and applied as anti-join ∪ delta, then PERSISTED eagerly —
@@ -271,14 +277,21 @@ class CrawlEngine:
         equivalent is the compacted base + delta chain, which the
         windowed fallback in frontier() still resolves from cold —
         crash/resume semantics unchanged)."""
+        t0 = time.time()
+        self.last_commit_timings: dict[str, float] = {}
         prev = self.frontier()  # captured BEFORE the append (reads are
         # manifest-pinned at construction, so the view is stable)
-        # delta rows inherit the fetch path's task count — coalesce so a
-        # ~10^5-row commit lands as a handful of files, not ~100 (file
-        # open/close overhead dominated the round-3 commit profile).
-        self.t_flog.write(
-            delta.coalesce(max(4, self.P // 4)), mode="append", meta={"round": rnd}
-        )
+        if data_dir is None:
+            # delta rows inherit the fetch path's task count — coalesce so
+            # a ~10^5-row commit lands as a handful of files, not ~100
+            # (file open/close overhead dominated the round-3 commit
+            # profile).
+            data_dir = self.t_flog.write_data(
+                delta.coalesce(max(4, self.P // 4))
+            )
+        self.t_flog.commit_dir(data_dir, mode="append", meta={"round": rnd})
+        self.last_commit_timings["flog_write"] = round(time.time() - t0, 3)
+        t0 = time.time()
         # ALWAYS advance the chain before a possible compaction — compact
         # folds self.frontier(), which must already include this delta.
         committed = self.t_flog.read_last_dir(self.spark)
@@ -297,8 +310,11 @@ class CrawlEngine:
         self._resolved = resolved
         if old is not None:
             old.unpersist()
+        self.last_commit_timings["resolve"] = round(time.time() - t0, 3)
+        t0 = time.time()
         if self.t_flog.num_dirs() >= self.compact_every:
             self._compact(rnd)
+            self.last_commit_timings["compact"] = round(time.time() - t0, 3)
 
     def _compact(self, rnd: int) -> None:
         """Fold the log into the base and reset the log. Idempotent under
@@ -396,229 +412,296 @@ class CrawlEngine:
 
         rnd = self.round_no + 1
         frontier = (self.frontier() if frontier is None else frontier).persist()
-
-        # re-establish per-engine caches lazily (first round, or first
-        # round after close())
-        if self._cache_corpus and not self.pages.is_cached:
-            self.pages = self.pages.persist()
-        if (
-            self._host_budgets is None
-            and self.robots is not None
-            and self._round_seconds is not None
-        ):
-            self._host_budgets = crawl_delay_budgets(
-                self.robots, self._round_seconds, self.budget
-            ).persist()
-        batch = FR.politeness_dequeue(
-            frontier,
-            round_no=rnd,
-            budget_per_host=self.budget,
-            max_hosts=self.max_hosts_per_round,
-            host_priority=self.host_priority,
-            host_budgets=self._host_budgets,
-        ).persist()
-        # materializes the persisted batch once; also the regime switch
-        # input for fetch_join's broadcast ceiling.
-        dequeued = batch.count()
-        _mark("dequeue")
-
-        # robots gate (J4): blocked rows become terminal outcomes. The
-        # gate is a distributed DataFrame join (plans/robots.robots_gate);
-        # rules are parsed once per engine and cached.
-        gated = None
-        if self.robots is not None:
-            if self._rules is None:
-                self._rules = robots_rules(self.robots).persist()
-            gated = robots_gate(batch, self._rules).persist()
-            allowed = gated.filter(F.col("__allowed")).drop("__allowed")
-            blocked = gated.filter(~F.col("__allowed")).drop("__allowed")
-        else:
-            allowed, blocked = batch, None
-
-        # fetch-sim: pages ⋈ broadcast(leased batch) — the batch (bounded
-        # by hosts×budget) is the build side; the corpus scan streams with
-        # no exchange (plan-asserted in tests/test_plans.py; see fetch_join).
-        got, _ = fetch_join(
-            self.pages,
-            allowed,
-            batch_rows=dequeued,
-            broadcast_ceiling_rows=self.broadcast_ceiling_rows,
-        )
-
-        # ONE corpus pass per round: the fused matcher (per-page match
-        # LISTS) and link extraction run inside the same scan, and only a
-        # SLIM frame (batch columns + small arrays — no page text) is
-        # persisted. Round-3 profile: persisting the joined pages WITH
-        # text wrote a corpus-batch-sized cache every round and every
-        # downstream consumer (outcomes, miss set, metrics, discovery)
-        # re-read it; the slim frame is ~100× smaller. The matcher kernel
-        # RE2-prefilters internally, so pages without candidates cost one
-        # Arrow crossing and no Python regex work.
-        link_col = (
-            F.array_distinct(
-                F.regexp_extract_all("text", F.lit(LINK_RE), F.lit(1))
-            )
-            if self.discover_links
-            else F.array().cast("array<string>")
-        )
-        enriched = got.select(
-            *batch.columns,
-            extract_matches(F.col("text")).alias("__ms"),
-            link_col.alias("__links"),
-        ).persist()
-
-        # hit stream: explode the cached match lists (no UDF re-run).
-        hits = hits_from_match_lists(
-            enriched.select(
-                F.col("canon_url").alias("url"),
-                "partition_id",
-                "host_rank",
-                "__ms",
-            ),
-            passthrough=["partition_id", "host_rank"],
-        ).persist()
-        n_matches = self.t_matches_append(hits, rnd)
-        _mark("fetch_match_append")
-
-        # miss set: both sides batch-bounded, fetched side from the cache.
-        missed = allowed.join(
-            enriched.select("canon_url"), "canon_url", "left_anti"
-        )
-
-        # link discovery → novel URLs → new pending rows.
-        discovered = 0
-        new_rows = None
-        if self.discover_links:
-            links = enriched.select(
-                F.explode("__links").alias("url")
-            ).distinct()
-            cand = FR.frontier_rows(
-                links, round_no=rnd, num_partitions=self.P
-            ).persist()
-            seen = frontier.select("url_hash")
-            # The Bloom BUILD pays for itself only when discovery batches
-            # are large; once built it is maintained INCREMENTALLY (delta
-            # OR-in, never an O(|frontier|) rebuild), so any later round
-            # probes it for free. The gate signal is LAST round's novel
-            # count — candidates are not separately counted (that was a
-            # whole extra job per round incl. the canonicalize UDF).
-            if self.use_bloom and (
-                self._bloom is not None
-                or self._last_novel >= self.bloom_min_candidates
+        # every frame persisted during THIS round — released in the
+        # finally block so a crashed round (fetch failure, poisoned
+        # matcher) cannot leak caches into a long-lived driver (VERDICT
+        # r3 item 4). The engine-level resolved cache is exempt: on the
+        # failure path it must survive for the replay.
+        persisted: list[DataFrame] = []
+        try:
+            # re-establish per-engine caches lazily (first round, or first
+            # round after close())
+            if self._cache_corpus and not self.pages.is_cached:
+                self.pages = self.pages.persist()
+            if (
+                self._host_budgets is None
+                and self.robots is not None
+                and self._round_seconds is not None
             ):
-                bloom = self._ensure_bloom(frontier)
-            else:
-                bloom = None
-            novel = novel_urls(cand, seen, bloom).dropDuplicates(["url_hash"])
-            new_rows = novel.persist()
-            # the novel count is OBSERVED during the commit write below —
-            # no dedicated count() action; cand stays cached until the
-            # write materializes new_rows (unpersisted at round end).
-            _mark("novel_check")
+                self._host_budgets = crawl_delay_budgets(
+                    self.robots, self._round_seconds, self.budget
+                ).persist()
+            batch = FR.politeness_dequeue(
+                frontier,
+                round_no=rnd,
+                budget_per_host=self.budget,
+                max_hosts=self.max_hosts_per_round,
+                host_priority=self.host_priority,
+                host_budgets=self._host_budgets,
+            ).persist()
+            persisted.append(batch)
+            # materializes the persisted batch once; also the regime switch
+            # input for fetch_join's broadcast ceiling.
+            dequeued = batch.count()
+            _mark("dequeue")
 
-        # round delta: replacement rows for touched URLs + discoveries —
-        # NO frontier-wide join/rewrite (see module docstring).
-        batch_cols = [c for c in batch.columns if c != "host_rank"]
-        # A corpus with duplicate urls yields multiple fetched rows per
-        # batch url_hash (fetch_join is an inner join). All their batch-
-        # side columns are identical (the batch is unique per url_hash),
-        # so dropDuplicates here is deterministic — and it is REQUIRED:
-        # a delta carrying the same url_hash twice would survive the
-        # latest-wins merge (row_number keeps one) but poison the
-        # incremental anti-join∪delta cache and get baked into the base
-        # at compaction, permanently breaking the frontier's
-        # unique-per-url_hash invariant (ADVICE r2).
-        done = enriched.select(
-            *batch_cols, F.lit("done").alias("outcome")
-        ).dropDuplicates(["url_hash"])
-        outcomes = done.unionByName(
-            missed.select(*batch_cols, F.lit("miss").alias("outcome"))
-        )
-        if blocked is not None:
-            outcomes = outcomes.unionByName(
-                blocked.select(
-                    *batch_cols, F.lit("robots_blocked").alias("outcome")
+            # robots gate (J4): blocked rows become terminal outcomes. The
+            # gate is a distributed DataFrame join (plans/robots.robots_gate);
+            # rules are parsed once per engine and cached.
+            gated = None
+            if self.robots is not None:
+                if self._rules is None:
+                    self._rules = robots_rules(self.robots).persist()
+                gated = robots_gate(batch, self._rules).persist()
+                persisted.append(gated)
+                allowed = gated.filter(F.col("__allowed")).drop("__allowed")
+                blocked = gated.filter(~F.col("__allowed")).drop("__allowed")
+            else:
+                allowed, blocked = batch, None
+
+            # fetch-sim: pages ⋈ broadcast(leased batch) — the batch (bounded
+            # by hosts×budget) is the build side; the corpus scan streams with
+            # no exchange (plan-asserted in tests/test_plans.py; see fetch_join).
+            got, _ = fetch_join(
+                self.pages,
+                allowed,
+                batch_rows=dequeued,
+                broadcast_ceiling_rows=self.broadcast_ceiling_rows,
+            )
+
+            # ONE corpus pass per round: the fused matcher (per-page match
+            # LISTS) and link extraction run inside the same scan, and only a
+            # SLIM frame (batch columns + small arrays — no page text) is
+            # persisted. Round-3 profile: persisting the joined pages WITH
+            # text wrote a corpus-batch-sized cache every round and every
+            # downstream consumer (outcomes, miss set, metrics, discovery)
+            # re-read it; the slim frame is ~100× smaller. The matcher kernel
+            # RE2-prefilters internally, so pages without candidates cost one
+            # Arrow crossing and no Python regex work.
+            link_col = (
+                F.array_distinct(
+                    F.regexp_extract_all("text", F.lit(LINK_RE), F.lit(1))
+                )
+                if self.discover_links
+                else F.array().cast("array<string>")
+            )
+            enriched = got.select(
+                *batch.columns,
+                extract_matches(F.col("text")).alias("__ms"),
+                link_col.alias("__links"),
+            ).persist()
+            persisted.append(enriched)
+
+            # hit stream: explode the cached match lists (no UDF re-run).
+            hits = hits_from_match_lists(
+                enriched.select(
+                    F.col("canon_url").alias("url"),
+                    "partition_id",
+                    "host_rank",
+                    "__ms",
+                ),
+                passthrough=["partition_id", "host_rank"],
+            ).persist()
+            persisted.append(hits)
+            # ONE materializing action for the round's heavy compute
+            # (fetch join + fused matcher + link extraction + hit
+            # explode); every downstream consumer — the three table
+            # writes below — reads the slim caches. Materializing here
+            # (not inside a write job) is what makes the overlapped
+            # writes safe: concurrent jobs over a NOT-yet-cached frame
+            # would each recompute the matcher scan.
+            n_matches = hits.count()
+            _mark("fetch_match")
+
+            # done/miss outcome split — semi/anti joins of the cached
+            # batch against the fetched keys. The semi join dedups
+            # corpus-duplicate fetches for free (round-3 used
+            # dropDuplicates on the enriched rows = one extra exchange);
+            # both sides are batch-bounded, and under the broadcast
+            # ceiling the fetched keys broadcast so neither join moves
+            # the batch at all. Over the ceiling the same SHUFFLE_HASH
+            # regime as fetch_join applies.
+            got_keys = enriched.select("canon_url")
+            over = dequeued > self.broadcast_ceiling_rows
+            keyside = (
+                got_keys.hint("SHUFFLE_HASH") if over else F.broadcast(got_keys)
+            )
+            done = allowed.join(keyside, "canon_url", "left_semi")
+            missed = allowed.join(keyside, "canon_url", "left_anti")
+
+            # link discovery → novel URLs → new pending rows.
+            discovered = 0
+            new_rows = None
+            if self.discover_links:
+                links = enriched.select(
+                    F.explode("__links").alias("url")
+                ).distinct()
+                cand = FR.frontier_rows(
+                    links, round_no=rnd, num_partitions=self.P
+                ).persist()
+                persisted.append(cand)
+                seen = frontier.select("url_hash")
+                # The Bloom BUILD pays for itself only when discovery batches
+                # are large; once built it is maintained INCREMENTALLY (delta
+                # OR-in, never an O(|frontier|) rebuild), so any later round
+                # probes it for free. The gate signal is LAST round's novel
+                # count — candidates are not separately counted (that was a
+                # whole extra job per round incl. the canonicalize UDF).
+                if self.use_bloom and (
+                    self._bloom is not None
+                    or self._last_novel >= self.bloom_min_candidates
+                ):
+                    bloom = self._ensure_bloom(frontier)
+                else:
+                    bloom = None
+                novel = novel_urls(cand, seen, bloom).dropDuplicates(["url_hash"])
+                new_rows = novel.persist()
+                persisted.append(new_rows)
+                # the novel count is OBSERVED during the commit write below —
+                # no dedicated count() action; cand stays cached until the
+                # write materializes new_rows (unpersisted at round end).
+                _mark("novel_check")
+
+            # round delta: replacement rows for touched URLs + discoveries —
+            # NO frontier-wide join/rewrite (see module docstring).
+            batch_cols = [c for c in batch.columns if c != "host_rank"]
+            outcomes = done.select(
+                *batch_cols, F.lit("done").alias("outcome")
+            ).unionByName(
+                missed.select(*batch_cols, F.lit("miss").alias("outcome"))
+            )
+            if blocked is not None:
+                outcomes = outcomes.unionByName(
+                    blocked.select(
+                        *batch_cols, F.lit("robots_blocked").alias("outcome")
+                    )
+                )
+            delta = FR.outcome_rows(
+                outcomes, round_no=rnd, max_attempts=self.max_attempts
+            )
+            novel_obs: Observation | None = None
+            if new_rows is not None:
+                # count rides the commit write (Observation), replacing the
+                # per-round count() action the round-3 profile showed costing
+                # ~1 job of pure scheduling; an empty union is harmless.
+                novel_obs = Observation()
+                delta = delta.unionByName(
+                    new_rows.observe(novel_obs, F.count(F.lit(1)).alias("n"))
+                )
+
+            # metrics: per-(round, partition) lineage (north_rule). ONE
+            # union-aggregate over the already-persisted frames instead of a
+            # three-way join of three separate aggregations — one tiny
+            # shuffle, one job (round-3 profile: the join chain cost ~1.5 s
+            # of pure stage overhead per round).
+            def _tagged(df: DataFrame, dq: int, ps: int, mt: int) -> DataFrame:
+                # coalesce: the cached inputs carry the fetch path's task
+                # counts; 8 read tasks per side is plenty for key-only rows.
+                return df.select(
+                    "partition_id",
+                    F.lit(dq).alias("dq"),
+                    F.lit(ps).alias("ps"),
+                    F.lit(mt).alias("mt"),
+                ).coalesce(8)
+
+            stats = (
+                _tagged(batch, 1, 0, 0)
+                .unionByName(_tagged(enriched, 0, 1, 0))
+                .unionByName(_tagged(hits, 0, 0, 1))
+                .groupBy("partition_id")
+                .agg(
+                    F.sum("dq").alias("dequeued"),
+                    F.sum("ps").alias("pages_scanned"),
+                    F.sum("mt").alias("matches_total"),
+                )
+                .select(
+                    F.lit(rnd).alias("round"),
+                    "partition_id",
+                    "dequeued",
+                    "pages_scanned",
+                    "matches_total",
+                    F.lit(int((time.time() - t0) * 1000)).alias("duration_ms"),
                 )
             )
-        delta = FR.outcome_rows(
-            outcomes, round_no=rnd, max_attempts=self.max_attempts
-        )
-        novel_obs: Observation | None = None
-        if new_rows is not None:
-            # count rides the commit write (Observation), replacing the
-            # per-round count() action the round-3 profile showed costing
-            # ~1 job of pure scheduling; an empty union is harmless.
-            novel_obs = Observation()
-            delta = delta.unionByName(
-                new_rows.observe(novel_obs, F.count(F.lit(1)).alias("n"))
-            )
-
-        # metrics: per-(round, partition) lineage (north_rule). ONE
-        # union-aggregate over the already-persisted frames instead of a
-        # three-way join of three separate aggregations — one tiny
-        # shuffle, one job (round-3 profile: the join chain cost ~1.5 s
-        # of pure stage overhead per round).
-        def _tagged(df: DataFrame, dq: int, ps: int, mt: int) -> DataFrame:
-            # coalesce: the cached inputs carry the fetch path's task
-            # counts; 8 read tasks per side is plenty for key-only rows.
-            return df.select(
-                "partition_id",
-                F.lit(dq).alias("dq"),
-                F.lit(ps).alias("ps"),
-                F.lit(mt).alias("mt"),
-            ).coalesce(8)
-
-        stats = (
-            _tagged(batch, 1, 0, 0)
-            .unionByName(_tagged(enriched, 0, 1, 0))
-            .unionByName(_tagged(hits, 0, 0, 1))
-            .groupBy("partition_id")
-            .agg(
-                F.sum("dq").alias("dequeued"),
-                F.sum("ps").alias("pages_scanned"),
-                F.sum("mt").alias("matches_total"),
-            )
-            .select(
+            out_matches = hits.select(
                 F.lit(rnd).alias("round"),
+                "url",
+                "domain",
+                "pattern",
+                "value",
+                "value_sha1",
                 "partition_id",
-                "dequeued",
-                "pages_scanned",
-                "matches_total",
-                F.lit(int((time.time() - t0) * 1000)).alias("duration_ms"),
+            ).coalesce(max(4, self.P // 8))
+
+            # crash recovery (replays only): compact away rows a crashed
+            # attempt at this round appended — BEFORE the new writes.
+            self._drop_orphans(self.t_matches, rnd)
+            self._drop_orphans(self.t_metrics, rnd)
+
+            # OVERLAPPED table writes: matches, metrics and the frontier
+            # delta are independent Spark jobs over already-materialized
+            # caches, and each one underfills the cluster (coalesced
+            # small writes) — running them sequentially left most cores
+            # idle for ~3 s/round in the round-3 profile. The DATA dirs
+            # are written concurrently (invisible until a manifest
+            # references them); the MANIFESTS then commit in order with
+            # the frontier-log append strictly LAST — the ack semantics
+            # and crash story are byte-identical to the sequential path.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as ex:
+                f_m = ex.submit(self.t_matches.write_data, out_matches)
+                f_s = ex.submit(self.t_metrics.write_data, stats.coalesce(1))
+                f_d = ex.submit(
+                    self.t_flog.write_data,
+                    delta.coalesce(max(4, self.P // 4)),
+                )
+                matches_dir = f_m.result()
+                metrics_dir = f_s.result()
+                delta_dir = f_d.result()
+            _mark("table_writes")
+
+            self.t_matches.commit_dir(
+                matches_dir, mode="append", meta={"round": rnd}
             )
-        )
-        self._drop_orphans(self.t_metrics, rnd)
-        # ≤ num_partitions rows — one file, not one per reducer.
-        self.t_metrics.write(stats.coalesce(1), mode="append", meta={"round": rnd})
-        _mark("metrics")
+            self.t_metrics.commit_dir(
+                metrics_dir, mode="append", meta={"round": rnd}
+            )
+            # log-append commit == ack (LAST, after all derived tables
+            # landed; a crash before this point replays the round
+            # idempotently — the orphan data dirs are unreferenced).
+            self._commit_delta(None, rnd, data_dir=delta_dir)
+            if novel_obs is not None:
+                discovered = int(novel_obs.get["n"])
+                self._last_novel = discovered
+            _mark("commit")
+            # extend the maintained Bloom with the round's new keys
+            # (superset-safe even if a later crash discards the commit —
+            # see invariant).
+            if new_rows is not None and discovered > 0:
+                self._absorb_bloom_delta(new_rows, discovered)
+                _mark("bloom_absorb")
 
-        # log-append commit == ack (LAST, after all derived tables landed;
-        # a crash before this point replays the round idempotently).
-        self._commit_delta(delta, rnd)
-        if novel_obs is not None:
-            discovered = int(novel_obs.get["n"])
-            self._last_novel = discovered
-        _mark("commit")
-        # extend the maintained Bloom with the round's new keys (superset-
-        # safe even if a later crash discards the commit — see invariant).
-        if new_rows is not None and discovered > 0:
-            self._absorb_bloom_delta(new_rows, discovered)
-            _mark("bloom_absorb")
-
-        for df in (frontier, batch, enriched, hits):
-            df.unpersist()
-        if gated is not None:
-            gated.unpersist()
-        if new_rows is not None:
-            cand.unpersist()
-            new_rows.unpersist()
-        return {
-            "round": rnd,
-            "dequeued": dequeued,
-            "matches": n_matches,
-            "discovered": discovered,
-            "sec": round(time.time() - t0, 2),
-        }
+            return {
+                "round": rnd,
+                "dequeued": dequeued,
+                "matches": n_matches,
+                "discovered": discovered,
+                "sec": round(time.time() - t0, 2),
+            }
+        finally:
+            for df in persisted:
+                df.unpersist()
+            # introspection hook (tests assert crash-path hygiene on the
+            # round's own frames instead of racy global RDD counts)
+            self.last_round_frames = persisted
+            # the pre-round frontier: on success _commit_delta already
+            # swapped the engine cache to the new resolved frame (and
+            # released the old one — this unpersist is then a no-op); on
+            # failure the engine's live resolved cache must NOT be
+            # dropped, or the replay would recompute it from lineage.
+            if frontier is not self._resolved:
+                frontier.unpersist()
 
     def _drop_orphans(self, table: TableIO, rnd: int) -> None:
         """Crash recovery: if a previous attempt at round ``rnd`` appended

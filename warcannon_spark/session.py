@@ -55,6 +55,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # local mode = one JVM: the "driver" heap is also all executor
+        # storage+execution memory. Measured (round 4): BIGGER heaps
+        # made the corpus-cache materialization burst 2-6× SLOWER
+        # (12g→22.7s, 20g→41s, 24g→84s, 48g→139s warm round at ~0-3%
+        # CPU steal; 48g with -Xmn2g recovered to 33s) — G1 young-gen
+        # scaling, not host noise — while steady-state rounds were
+        # equal within noise. 12g is the measured sweet spot here; a
+        # real cluster sizes spark.executor.memory per node instead.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.python.worker.reuse", "true")

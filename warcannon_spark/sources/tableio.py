@@ -77,20 +77,38 @@ class TableIO:
         os.rename(tmp, os.path.join(self._snap_dir, f"{version:06d}.json"))
         return version
 
-    def write(
-        self, df: DataFrame, mode: str = "overwrite", meta: dict | None = None
-    ) -> int:
-        """Materialize ``df`` as a new immutable data dir and commit a new
-        snapshot. mode='append' carries forward the previous dirs."""
+    def write_data(self, df: DataFrame) -> str:
+        """Materialize ``df`` as a new immutable data dir WITHOUT
+        committing a manifest. Invisible to readers until commit_dir()
+        references it — this is the two-phase seam that lets a round
+        overlap its independent table writes (matches/metrics/frontier
+        delta run as concurrent Spark jobs) and then commit the
+        manifests in order, frontier-log last (the ack). A crash
+        between write_data and commit_dir leaves an orphan data dir no
+        manifest references — exactly the Iceberg crash story."""
         prev = self.latest_version()
         new_dir = os.path.join(
             self.root, "data", f"v{(0 if prev is None else prev + 1):04d}-{uuid.uuid4().hex[:8]}"
         )
         df.write.mode("overwrite").parquet(new_dir)
+        return new_dir
+
+    def commit_dir(
+        self, new_dir: str, mode: str = "overwrite", meta: dict | None = None
+    ) -> int:
+        """Commit a data dir produced by write_data()."""
+        prev = self.latest_version()
         dirs = [new_dir]
         if mode == "append" and prev is not None:
             dirs = self._manifest(prev)["dirs"] + dirs
         return self._commit(dirs, meta)
+
+    def write(
+        self, df: DataFrame, mode: str = "overwrite", meta: dict | None = None
+    ) -> int:
+        """Materialize ``df`` as a new immutable data dir and commit a new
+        snapshot. mode='append' carries forward the previous dirs."""
+        return self.commit_dir(self.write_data(df), mode=mode, meta=meta)
 
     def num_dirs(self) -> int:
         """Data dirs referenced by the latest snapshot (append depth)."""
