@@ -32,15 +32,40 @@ REPEAT = int(os.environ.get("BENCH_TEXT_REPEAT", "12"))
 PASSES = int(os.environ.get("BENCH_PASSES", "3"))
 
 
+MAX_SPREAD = float(os.environ.get("BENCH_MAX_SPREAD", "0.3"))
+MAX_PASSES = int(os.environ.get("BENCH_MAX_PASSES", "9"))
+
+
+def _cpu_counters() -> list[int]:
+    with open("/proc/stat") as f:
+        return list(map(int, f.readline().split()[1:]))
+
+
+def _steal_pct(before: list[int], after: list[int]) -> float:
+    d = [y - x for x, y in zip(before, after)]
+    tot = sum(d) or 1
+    return round(100.0 * d[7] / tot, 2)
+
+
 def _best_of(fn, n: int = PASSES) -> tuple[float, float]:
-    """(best_sec, spread): min wall-clock over n passes + (max-min)/min —
-    the shared-host noise indicator."""
-    times = []
-    for _ in range(n):
+    """(best_sec, spread) with NOISE REFUSAL (round-3 verdict: a noisy
+    host once recorded a −33% phantom regression as the artifact of
+    record). Runs n passes; if the n fastest passes disagree by more
+    than MAX_SPREAD, keeps adding passes (up to MAX_PASSES) until the
+    fastest-n window is quiet. Returns the fastest pass + the spread of
+    the fastest-n window — so the recorded spread describes the passes
+    the headline rests on, and a headline with spread > MAX_SPREAD
+    means the host never went quiet (flagged noisy in the output)."""
+    times: list[float] = []
+    while True:
         t0 = time.time()
         fn()
         times.append(time.time() - t0)
-    return min(times), (max(times) - min(times)) / min(times)
+        if len(times) >= n:
+            window = sorted(times)[:n]
+            spread = (window[-1] - window[0]) / window[0]
+            if spread <= MAX_SPREAD or len(times) >= MAX_PASSES:
+                return window[0], spread
 
 
 def main() -> None:
@@ -58,6 +83,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    cpu0 = _cpu_counters()
+    extras["load_avg_start"] = round(os.getloadavg()[0], 2)
 
     # -- flagship: fused-matcher campaign, storage-scan shape -------------
     from warcannon_spark.sources.pages import materialized_corpus
@@ -119,12 +146,13 @@ def main() -> None:
 
     from warcannon_spark.plans.crawl import CrawlEngine
 
-    def crawl_run(cache_corpus: bool) -> tuple[float, int, int, dict, float]:
+    def crawl_run(cache_corpus: bool) -> tuple[float, int, int, dict, float, float]:
         """warm + 2 timed rounds; returns
-        (sec, urls, matches, stage_sec, best_round_urls_per_sec).
+        (sec, urls, matches, stage_sec, best_round_urls_per_sec, spread).
         budget 4000 × 37 hosts ⇒ ~148k urls per round, and every host
         stays non-empty through the warm + 2 timed rounds (smallest hosts
-        hold ~14.5k pages) — each timed round is a FULL batch."""
+        hold ~14.5k pages) — each timed round is a FULL batch.
+        spread = round-time disagreement (noise indicator)."""
         crawl_wd = tempfile.mkdtemp(prefix="wc_bench_crawl_")
         try:
             eng = CrawlEngine(
@@ -156,9 +184,23 @@ def main() -> None:
                 round(
                     max(s["dequeued"] / sec for s, sec in zip(stats, round_secs)), 1
                 ),
+                round((max(round_secs) - min(round_secs)) / min(round_secs), 3),
             )
         finally:
             shutil.rmtree(crawl_wd, ignore_errors=True)
+
+    def crawl_until_quiet(cache_corpus: bool, retries: int = 2):
+        """Noise refusal for the e2e loop: rerun the whole crawl when the
+        two timed rounds disagree by > MAX_SPREAD (same work each round —
+        disagreement IS host noise), keep the fastest run."""
+        best = crawl_run(cache_corpus)
+        for _ in range(retries):
+            if best[5] <= MAX_SPREAD:
+                break
+            nxt = crawl_run(cache_corpus)
+            if nxt[0] < best[0]:
+                best = nxt
+        return best
 
     # COLD = every round re-scans the corpus parquet (the r1/r2-comparable
     # protocol). CACHED = the fetch-sim corpus is executor-persisted —
@@ -166,14 +208,20 @@ def main() -> None:
     # fetch reads only the leased WARCs; the full-corpus re-scan is a
     # sim artifact). Both are reported; headline = cached, with the cold
     # figure and per-stage seconds alongside for the honest comparison.
-    dt_cold, urls_cold, _m, stages_cold, best_cold = crawl_run(cache_corpus=False)
-    dt_hot, urls_hot, matches_hot, stages_hot, best_hot = crawl_run(cache_corpus=True)
+    dt_cold, urls_cold, _m, stages_cold, best_cold, spread_cold = (
+        crawl_until_quiet(cache_corpus=False)
+    )
+    dt_hot, urls_hot, matches_hot, stages_hot, best_hot, spread_hot = (
+        crawl_until_quiet(cache_corpus=True)
+    )
     timings["crawl_rounds"] = round(dt_hot, 3)
     extras["crawl_urls_per_sec"] = round(urls_hot / dt_hot, 1)
     extras["crawl_urls_per_sec_best_round"] = best_hot  # best-of-2, noise guard
+    extras["crawl_spread"] = spread_hot
     extras["crawl_urls_per_sec_cold"] = round(urls_cold / dt_cold, 1)
     extras["crawl_urls_per_sec_cold_best_round"] = best_cold
     extras["crawl_rounds_cold_sec"] = round(dt_cold, 3)
+    extras["crawl_cold_spread"] = spread_cold
     extras["crawl_matches"] = matches_hot
     extras["crawl_stage_sec"] = stages_hot
     extras["crawl_stage_sec_cold"] = stages_cold
@@ -205,7 +253,26 @@ def main() -> None:
         dt, _ = _best_of(lambda: fn(spark, SF_DIR).count(), n=2)
         timings[name] = round(dt, 3)
 
+    # the ADVERTISED MinHash configuration (128 perms / 32 bands) — the
+    # oracle-parameterized entry above times only the 16-perm skeleton
+    # (round-3 verdict item 8: the production default must have a
+    # measured cost).
+    from warcannon_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    dt, _ = _best_of(lambda: minhash_lsh_pairs(docs).count(), n=2)
+    timings["dedup_minhash_default"] = round(dt, 3)
+
     total = round(sum(timings.values()), 3)
+    extras["steal_pct"] = _steal_pct(cpu0, _cpu_counters())
+    extras["load_avg_end"] = round(os.getloadavg()[0], 2)
+    # artifact-of-record noise verdict: any headline whose spread never
+    # got under MAX_SPREAD despite the retries
+    extras["noisy"] = bool(
+        extras["match_spread"] > MAX_SPREAD
+        or extras["crawl_spread"] > MAX_SPREAD
+        or extras["dequeue_spread"] > MAX_SPREAD
+    )
     print(
         json.dumps(
             {
