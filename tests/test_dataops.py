@@ -337,6 +337,12 @@ def test_host_edges_normalizes_to_frontier_host_form(spark):
         [
             ("MySite.Example", 'x href="https://Other.Example:443/p" y'),
             ("a.example", 'href="https://b.example:8080/q"'),
+            # per-scheme default-port parity with canonicalize_batch
+            # (ADVICE r3): :443 under http is NOT a default port — the
+            # canonicalizer keeps it, so the graph must too, or the
+            # host silently un-joins from the frontier.
+            ("c.example", 'href="http://d.example:443/r"'),
+            ("e.example", 'href="http://f.example:80/s"'),
         ],
         "host string, text string",
     )
@@ -344,7 +350,24 @@ def test_host_edges_normalizes_to_frontier_host_form(spark):
     assert edges == {
         ("mysite.example", "other.example"),
         ("a.example", "b.example:8080"),  # non-default port kept
+        ("c.example", "d.example:443"),  # http keeps :443
+        ("e.example", "f.example"),  # http strips :80
     }
+    # parity oracle: the graph's host form == canonicalize + domain_of
+    from warcannon_spark.functions.urls import canonical_url
+    from warcannon_spark.operators.matcher import domain_of
+
+    hrefs = spark.createDataFrame(
+        [("https://Other.Example:443/p",), ("https://b.example:8080/q",),
+         ("http://d.example:443/r",), ("http://f.example:80/s",)],
+        "url string",
+    )
+    canon_hosts = {
+        r.h for r in hrefs.select(
+            domain_of(canonical_url("url")).alias("h")
+        ).collect()
+    }
+    assert {dst for _, dst in edges} == canon_hosts
 
 
 def test_word_ngrams_property_matches_python_reference(spark):

@@ -252,3 +252,45 @@ def test_dequeue_is_single_exchange_with_partial_window_group_limit(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("WindowGroupLimit") == 2, plan
     assert "Partial" in plan and "Final" in plan
+
+
+def test_decontaminate_over_ceiling_switches_to_shuffled_hash(spark):
+    """Round-3 VERDICT item 3: the benchmark-gram probe must stop
+    broadcasting above the gram-count ceiling (a huge eval battery is
+    the same driver/broadcast failure mode as the oversized fetch-join
+    batch) and switch to SHUFFLE_HASH — with identical results."""
+    from warcannon_spark.operators.curation import decontaminate
+
+    train = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " + ("x%d y%d z%d w%d" % (i, i, i, i)))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta"), (1001, "p q r s")],
+        "doc_id long, text string",
+    )
+
+    # default regime: eval grams broadcast, training grams unexchanged
+    # before the probe
+    under = decontaminate(train, bench, n=4)
+    plan_u = plan_str(under)
+    assert "BroadcastHashJoin" in plan_u, plan_u
+    assert "ShuffledHashJoin" not in plan_u, plan_u
+
+    # over the ceiling: shuffled hash join, NO broadcast of the gram set
+    over = decontaminate(train, bench, n=4, broadcast_ceiling_grams=1)
+    plan_o = plan_str(over)
+    assert "ShuffledHashJoin" in plan_o, plan_o
+    # the gram probe itself: hash join, no broadcast, no sort of the
+    # training grams (the outer per-doc id join is a different, row-
+    # bounded join and may plan however stats dictate)
+    sub = subtree_of(plan_o, "ShuffledHashJoin")
+    assert "BroadcastExchange" not in sub, plan_o
+    assert "SortMergeJoin" not in sub, plan_o
+
+    # regime switch must not change the answer
+    a = {(r.doc_id, r.n_overlap, r.contaminated) for r in under.collect()}
+    b = {(r.doc_id, r.n_overlap, r.contaminated) for r in over.collect()}
+    assert a == b
+    assert sum(1 for _, n, c in a if c == 1) == 30  # every train doc shares the 4-gram

@@ -52,30 +52,53 @@ def word_ngrams(
     return docs.select(F.col(id_col), F.explode(grams).alias("gram"))
 
 
+# Above this many distinct benchmark grams the contamination probe no
+# longer broadcasts: a 10^7-gram × ~60-byte build side is getting close
+# to a GB built per executor plus the driver's collected copy — the same
+# failure mode as the fetch join's oversized batch (plans/crawl.py), and
+# it gets the same two-regime switch.
+BROADCAST_CEILING_GRAMS = 5_000_000
+
+
 def decontaminate(
     train: DataFrame,
     bench: DataFrame,
     n: int = DEFAULT_NGRAM,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_ceiling_grams: int = BROADCAST_CEILING_GRAMS,
 ) -> DataFrame:
     """Train/test overlap removal: per training doc, the number of
     DISTINCT n-grams it shares with the benchmark corpus and a 0/1
     ``contaminated`` flag. Callers drop (or audit) flagged docs.
 
-    Scale shape: the benchmark gram set is deduped then BROADCAST (eval
-    suites are tiny next to a 100 TB training corpus); the training side
-    is a map-side hash probe per gram position — its grams are NEVER
-    shuffled wholesale (no pre-join distinct — dedup happens in the
-    count_distinct aggregate AFTER the broadcast probe, so only MATCHED
-    grams, bounded by contamination, reach the exchange). Returns every
-    training doc (n_overlap = 0 for clean ones) so the output is a
-    drop-in filter/audit table.
+    Scale shape, two regimes by benchmark size (round-3 VERDICT item 3):
+
+    * typical eval suites (10^3-10^6 grams, under the ceiling): the
+      deduped benchmark gram set is BROADCAST and the training side is a
+      map-side hash probe per gram position — training grams are NEVER
+      shuffled wholesale (no pre-join distinct — dedup happens in the
+      count_distinct aggregate AFTER the probe, so only MATCHED grams,
+      bounded by contamination, reach the exchange);
+    * a benchmark battery above the ceiling (e.g. long-token 8-grams
+      over a huge suite) would outgrow the broadcast/driver budget the
+      same way the fetch join's build side did — the probe switches to
+      a SHUFFLE_HASH join (bench side built per-partition). One extra
+      exchange of the training grams, no driver ceiling; on gram-
+      bucketed benchmark storage the bench side stays exchange-free.
+
+    The sizing action (one count over the deduped eval grams) is paid on
+    the TINY side only. Returns every training doc (n_overlap = 0 for
+    clean ones) so the output is a drop-in filter/audit table.
     """
     bench_grams = word_ngrams(bench, n, id_col, text_col).select("gram").distinct()
+    if bench_grams.count() > broadcast_ceiling_grams:
+        probe_side = bench_grams.hint("SHUFFLE_HASH")
+    else:
+        probe_side = F.broadcast(bench_grams)
     overlap = (
         word_ngrams(train, n, id_col, text_col)
-        .join(F.broadcast(bench_grams), "gram")
+        .join(probe_side, "gram")
         .groupBy(id_col)
         .agg(F.count_distinct("gram").alias("n_overlap"))
     )

@@ -106,12 +106,28 @@ LINK_HREF_RE = r'href="(https?://[^"]+)"'
 
 
 def _norm_host(col: Column) -> Column:
-    """Normalize an href host to the frontier's host form: lowercase,
-    default ports stripped — matching what canonical_url + domain_of
-    produce for frontier rows, so the (host, priority) join in
-    politeness_dequeue actually hits. (Non-default ports are kept,
-    exactly as the canonicalizer keeps them.)"""
-    return F.regexp_replace(F.lower(col), r":(80|443)$", "")
+    """Normalize a bare host (no scheme available) to the frontier's
+    host form: lowercase. Port handling happens in ``_href_host`` where
+    the scheme is known — frontier host columns fed in here have
+    already been canonicalized (default port stripped per scheme by
+    functions/urls.canonicalize_batch)."""
+    return F.lower(col)
+
+
+def _href_host(href: Column) -> Column:
+    """href URL → frontier-form host: lowercase, and ONLY the scheme's
+    default port stripped (:80 for http, :443 for https) — exactly what
+    canonical_url + domain_of produce for frontier rows, so the (host,
+    priority) join in politeness_dequeue actually hits. A host like
+    'x:443' under http keeps its port, matching the canonicalizer
+    (ADVICE r3: the old unconditional strip silently un-joined it)."""
+    scheme = F.lower(F.regexp_extract(href, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(href, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    return (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
 
 
 def host_edges(pages: DataFrame, host_col: str = "host", text_col: str = "text") -> DataFrame:
@@ -128,7 +144,7 @@ def host_edges(pages: DataFrame, host_col: str = "host", text_col: str = "text")
         )
         .select(
             "src",
-            _norm_host(F.regexp_extract("href", r"https?://([^/]+)", 1)).alias("dst"),
+            _href_host(F.col("href")).alias("dst"),
         )
         .filter((F.col("src") != F.col("dst")) & (F.col("dst") != ""))
     )

@@ -127,8 +127,12 @@ def results_json_per_pattern(rollup: DataFrame) -> DataFrame:
     # reference entry = {"value": v, <domain>: [...], ...}: take the
     # value-struct JSON minus its closing brace + the domains-map JSON
     # minus its opening brace. The domains map is never empty (every
-    # sha1 group has ≥1 domain row).
-    value_json = F.to_json(F.struct("value"))
+    # sha1 group has ≥1 domain row). value is coalesced to "" first:
+    # to_json DROPS null fields, and splicing the resulting "{}" would
+    # emit invalid JSON like '{,"d1":[...]}' (ADVICE r3).
+    value_json = F.to_json(
+        F.struct(F.coalesce(F.col("value"), F.lit("")).alias("value"))
+    )
     domains_json = F.to_json(F.col("domains"))
     entry = F.concat(
         F.substring(value_json, 1, F.length(value_json) - 1),

@@ -876,13 +876,26 @@ def q_streaming_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``gap`` after its predecessor opens a new session (the batch
     ``event_sessions`` query keeps the reference's strict-> semantics;
     the two cuts differ only on exact-boundary gaps)."""
+    import hashlib
     import os as _os
 
-    from .sources.tableio import TableIO
     from .streaming.pipeline import run_session_pipeline
 
+    # cache tag tracks the SOURCE fixture content (ADVICE r3: a
+    # hardcoded v1 silently reused stale drops/checkpoints if the events
+    # table changed) — fingerprint = file names/sizes/mtimes of the
+    # events parquet.
+    ev_dir = _os.path.join(sf_dir, "events.parquet")
+    ev_paths = (
+        sorted(_os.listdir(ev_dir)) if _os.path.isdir(ev_dir) else [ev_dir]
+    )
+    h = hashlib.sha1()
+    for p in ev_paths:
+        full = _os.path.join(ev_dir, p) if _os.path.isdir(ev_dir) else p
+        st = _os.stat(full)
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
     tag = _os.path.basename(_os.path.normpath(sf_dir))
-    root = f"/tmp/wc_sess_stream_q_v1_{tag}"
+    root = f"/tmp/wc_sess_stream_q_{h.hexdigest()[:10]}_{tag}"
     src = f"{root}/src"
     if not _os.path.exists(f"{root}/_SRC_DONE"):
         (

@@ -126,6 +126,16 @@ def http_payload(body: bytes) -> bytes:
     return body[sep + 4 :] if sep >= 0 else body
 
 
+# Hadoop scheme → pyarrow scheme: Spark deployments address object
+# stores with the Hadoop connector names (s3a://, s3n://), which
+# pyarrow's FileSystem.from_uri does not recognize (ADVICE r3). The S3
+# credentials resolve from the standard AWS env/instance chain — a
+# deployment using Hadoop-conf-only credentials must export them to the
+# environment (or use read_warc_pages(content_column=True), which reads
+# bytes through Spark's own Hadoop layer instead).
+_HADOOP_TO_ARROW_SCHEME = {"s3a": "s3", "s3n": "s3"}
+
+
 def _open_input(path: str):
     """Open a binaryFile-source path for random-access reading. Local
     ``file:`` URIs (what local/HDFS-mounted deployments see) go through
@@ -136,9 +146,21 @@ def _open_input(path: str):
     u = urlparse(path)
     if u.scheme in ("", "file"):
         return open(unquote(u.path), "rb")
+    arrow_scheme = _HADOOP_TO_ARROW_SCHEME.get(u.scheme)
+    if arrow_scheme is not None:
+        path = arrow_scheme + path[len(u.scheme):]
     from pyarrow import fs as pafs
 
-    fsys, rel = pafs.FileSystem.from_uri(path)
+    try:
+        fsys, rel = pafs.FileSystem.from_uri(path)
+    except Exception as e:  # pragma: no cover - deployment-specific
+        raise OSError(
+            f"pyarrow cannot open {path!r} ({e}); for filesystems only "
+            "the JVM side can resolve (wasbs://, HDFS HA nameservices, "
+            "Hadoop-conf credentials) use "
+            "read_warc_pages(..., content_column=True), which ships "
+            "file bytes through Spark's binaryFile content column."
+        ) from e
     return fsys.open_input_file(rel)
 
 
@@ -180,11 +202,38 @@ def _parse_warc_paths(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield pd.DataFrame(rows, columns=cols)
 
 
-def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
+def _parse_warc_contents(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Content-column twin of ``_parse_warc_paths`` for filesystems only
+    the JVM side can resolve (wasbs://, HDFS HA nameservices, Hadoop-conf
+    credentials — ADVICE r3): Spark's binaryFile reader ships the whole
+    file as bytes, so task memory is O(file), not O(record)."""
+    cols = ["url", "warc_ts", "html", "text"]
+    rows: list[tuple] = []
+    for pdf in batches:
+        for content in pdf["content"]:
+            with io.BytesIO(bytes(content)) as raw:
+                for row in _pages_from_stream(raw):
+                    rows.append(row)
+                    if len(rows) >= _ROWS_PER_FRAME:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+    if rows:
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def read_warc_pages(
+    spark: SparkSession, path: str, content_column: bool = False
+) -> DataFrame:
     """Gzipped-WARC files under ``path`` → pages DataFrame
     (url, warc_ts, html BINARY, text STRING) — the input_hint shape.
-    Only the PATH column crosses into Python; bytes flow through the
-    chunked scanner (O(record) task memory, see module docstring)."""
+    Default: only the PATH column crosses into Python; bytes flow
+    through the chunked scanner (O(record) task memory, see module
+    docstring). ``content_column=True`` reads bytes through Spark's own
+    Hadoop layer instead (O(file) task memory) — for schemes/credential
+    setups pyarrow cannot resolve."""
+    if content_column:
+        files = spark.read.format("binaryFile").load(path).select("content")
+        return files.mapInPandas(_parse_warc_contents, WARC_PAGES_SCHEMA)
     files = spark.read.format("binaryFile").load(path).select("path")
     return files.mapInPandas(_parse_warc_paths, WARC_PAGES_SCHEMA)
 
