@@ -482,3 +482,55 @@ def test_engine_close_releases_caches_and_resume_still_works(spark, tmp_path):
     resumed.run(max_rounds=20)
     assert resumed.drained()
     resumed.close()
+
+
+def test_progress_document_shape_matches_reference(spark, tmp_path):
+    """K3/K4 parity: progress_document must fold the metrics table +
+    frontier depth into the reference's progress.json shape
+    (progress_stream_processor/main.js:13-77 — {generated, metrics[],
+    sqs{ApproximateNumberOfMessages, ApproximateNumberOfMessagesNotVisible}},
+    site_contents/progress.example.json). Single-partition all-success
+    round ⇒ the whole document is hand-computable except runtime."""
+    import json
+
+    corpus_df = spark.createDataFrame(
+        [(f"https://h{i % 2}.example/p/{i}", f"plain body {i}") for i in range(4)],
+        "url string, text string",
+    )
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path),
+        pages=corpus_df,
+        robots=None,
+        budget_per_host=4,
+        num_partitions=1,  # pmod(hash, 1) == 0: one deterministic item
+        discover_links=False,
+    )
+    eng.seed(corpus_df.select("url"))
+    eng.run_round()
+
+    doc = eng.publish_progress(str(tmp_path / "progress.json"), generated_ms=1234567)
+    on_disk = json.load(open(tmp_path / "progress.json"))
+    assert on_disk == doc
+
+    assert set(doc) == {"generated", "metrics", "sqs"}
+    runtime = doc["metrics"][0].pop("runtime")
+    assert runtime >= 0.0
+    assert doc == {
+        "generated": 1234567,
+        "metrics": [
+            {
+                "partition_id": 0,
+                "dequeued": 4,
+                "pages_scanned": 4,
+                "matches_total": 0,
+                "last_round": 1,
+                "progress": {"round-1": 100.0},
+            }
+        ],
+        "sqs": {
+            "ApproximateNumberOfMessages": 0,  # frontier drained
+            "ApproximateNumberOfMessagesNotVisible": 0,  # no open leases
+        },
+    }
+    eng.close()

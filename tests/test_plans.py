@@ -294,3 +294,36 @@ def test_decontaminate_over_ceiling_switches_to_shuffled_hash(spark):
     b = {(r.doc_id, r.n_overlap, r.contaminated) for r in over.collect()}
     assert a == b
     assert sum(1 for _, n, c in a if c == 1) == 30  # every train doc shares the 4-gram
+
+
+def test_prepared_statement_queries_prune_partitions(spark, sf_dir):
+    """The ported Athena prepared statements (populate_athena.sh:56-59)
+    must keep their partition predicates at the METADATA level:
+    domain_search carries (crawl, subset) as PartitionFilters,
+    domain_search_all carries subset — parameter binding via
+    spark.sql(args=...) must not defeat pruning."""
+    from warcannon_spark.sources.ccindex import (
+        prepared_domain_search,
+        prepared_domain_search_all,
+    )
+
+    df = prepared_domain_search(
+        spark, sf_dir, domain="h0.example", crawl="CC-MAIN-2"
+    )
+    pf = next(
+        l for l in plan_str(df, "formatted").splitlines()
+        if "PartitionFilters" in l
+    )
+    assert "crawl" in pf and "subset" in pf, pf
+    assert "CC-MAIN-2" in pf and "warc" in pf, pf
+    rows = df.collect()
+    assert rows and all(r.num > 0 for r in rows)
+
+    df_all = prepared_domain_search_all(spark, sf_dir, domain="h3.example")
+    pf = next(
+        l for l in plan_str(df_all, "formatted").splitlines()
+        if "PartitionFilters" in l
+    )
+    assert "subset" in pf and "warc" in pf, pf
+    files = [r.warc_filename for r in df_all.collect()]
+    assert files == sorted(files) and len(files) == len(set(files))

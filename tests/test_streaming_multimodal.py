@@ -463,3 +463,105 @@ def test_stateful_streaming_seen_filter_and_progress(spark, tmp_path):
     assert final["h1.example"].bytes == len("aaaa") + 2 * len("bb") + len("c")
     assert final["h2.example"].pages == 1
     assert final["h1.example"].first_us < final["h1.example"].last_us
+
+
+def _png_encode(px, ctype, filters, palette=None):
+    """Minimal test-side PNG writer with a CHOSEN filter type per row —
+    the decoder must invert every filter (Sub/Up/Average/Paeth), so the
+    fixture exercises paths a filter-0-only writer would never touch."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as _np
+
+    h, w = px.shape[:2]
+    channels = px.shape[2] if px.ndim == 3 else 1
+    flat = px.reshape(h, w * channels).astype(_np.int32)
+    bpp = channels
+    stride = w * channels
+    raw = bytearray()
+    prev = _np.zeros(stride, _np.int32)
+    for y in range(h):
+        cur = flat[y]
+        f = filters[y % len(filters)]
+        line = cur.copy()
+        if f == 1:
+            for i in range(stride - 1, bpp - 1, -1):
+                line[i] = (cur[i] - cur[i - bpp]) & 0xFF
+        elif f == 2:
+            line = (cur - prev) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                line[i] = (cur[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (cur[i] - pred) & 0xFF
+        raw.append(f)
+        raw += bytes(line.astype(_np.uint8))
+        prev = cur
+
+    def chunk(typ, data):
+        out = _struct.pack(">I", len(data)) + typ + data
+        return out + _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    body = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += chunk(b"PLTE", bytes(palette.astype(_np.uint8).reshape(-1)))
+    body += chunk(b"IDAT", _zlib.compress(bytes(raw)))
+    return body + chunk(b"IEND", b"")
+
+
+def test_multimodal_png_decodes_without_pillow(spark):
+    """Round-3 VERDICT item 6: non-interlaced 8-bit PNG must decode with
+    the pure-stdlib tier — exact dimensions and EXACT pixels across all
+    five row filters, for RGB / RGBA / grayscale / palette color types —
+    through the distributed kernel with deterministic_fake=False."""
+    import numpy as np
+
+    from warcannon_spark.operators.multimodal import (
+        _decode_png,
+        extract_media_features,
+    )
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    # every filter type appears (7 rows cycle through 0..4)
+    png_rgb = _png_encode(rgb, ctype=2, filters=[0, 1, 2, 3, 4])
+    w, h, px = _decode_png(png_rgb)
+    assert (w, h) == (5, 7)
+    assert np.array_equal(px, rgb)
+
+    rgba = rng.integers(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    w, h, px = _decode_png(_png_encode(rgba, ctype=6, filters=[4, 3, 2, 1]))
+    assert (w, h) == (6, 4)
+    assert np.array_equal(px, rgba[:, :, :3])  # alpha dropped
+
+    gray = rng.integers(0, 256, size=(5, 5, 1), dtype=np.uint8)
+    w, h, px = _decode_png(_png_encode(gray, ctype=0, filters=[1, 2, 4]))
+    assert np.array_equal(px[:, :, 0], gray[:, :, 0])
+    assert np.array_equal(px[:, :, 1], gray[:, :, 0])  # widened to RGB
+
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(6, 3, 1), dtype=np.uint8)
+    w, h, px = _decode_png(
+        _png_encode(idx, ctype=3, filters=[0, 2], palette=palette)
+    )
+    assert np.array_equal(px, palette[idx[:, :, 0]])
+
+    # distributed kernel end-to-end (no Pillow in the sandbox)
+    media = spark.createDataFrame(
+        [(1, "image", png_rgb, "image/png")],
+        "media_id long, kind string, blob binary, mime string",
+    )
+    row = extract_media_features(media, deterministic_fake=False).collect()[0]
+    assert (row.width, row.height) == (5, 7)
+    means = rgb.reshape(-1, 3).mean(axis=0)
+    assert all(abs(row.feat[i] - means[i]) < 1e-3 for i in range(3))

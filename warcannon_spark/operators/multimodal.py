@@ -69,12 +69,97 @@ def _decode_bmp24(blob: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, px[:, :, ::-1].copy()  # BGR → RGB
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-stdlib decoder for non-interlaced 8-bit PNG (the web's most
+    common lossless format): chunk walk → zlib inflate → per-row
+    unfiltering (all five filter types per RFC 2083 §6) → RGB. Covers
+    color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha) and
+    6 (RGBA); 16-bit and interlaced images need Pillow."""
+    if blob[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG blob")
+    import zlib
+
+    idat = bytearray()
+    w = h = depth = ctype = interlace = None
+    palette = None
+    pos = 8
+    while pos + 8 <= len(blob):
+        ln = int.from_bytes(blob[pos : pos + 4], "big")
+        typ = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None or depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"only non-interlaced 8-bit PNG decodes without Pillow "
+            f"(depth={depth}, interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    bpp = channels  # bytes per pixel (8-bit depth)
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    rp = 0
+    for y in range(h):
+        f = raw[rp]
+        cur = np.frombuffer(raw, np.uint8, stride, rp + 1).astype(np.int32)
+        rp += 1 + stride
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, channels)
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        px = palette[px[:, :, 0]]
+    elif channels == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif channels == 2:  # gray + alpha → drop alpha, widen gray
+        px = np.repeat(px[:, :, :1], 3, axis=2)
+    elif channels == 4:  # RGBA → drop alpha
+        px = px[:, :, :3]
+    return w, h, np.ascontiguousarray(px)
+
+
 def _decode_image(blob: bytes, deterministic_fake: bool) -> tuple[int, int, np.ndarray]:
     """Decode an image blob → (width, height, HxWx3 uint8 array).
 
     Tiers: deterministic fake (plumbing tests; shape and pixels derived
-    from the blob digest) → Pillow if installed → stdlib BMP decoder →
-    NotImplementedError naming the missing optional dependency."""
+    from the blob digest) → Pillow if installed → stdlib PNG/BMP
+    decoders → NotImplementedError naming the missing optional
+    dependency."""
     if deterministic_fake:
         digest = hashlib.sha256(blob).digest()
         w = 8 + digest[0] % 24
@@ -85,13 +170,15 @@ def _decode_image(blob: bytes, deterministic_fake: bool) -> tuple[int, int, np.n
         img = _PILImage.open(io.BytesIO(blob)).convert("RGB")
         px = np.asarray(img, dtype=np.uint8)
         return img.width, img.height, px
+    if blob[:8] == _PNG_MAGIC:
+        return _decode_png(blob)
     if blob[:2] == b"BM":
         return _decode_bmp24(blob)
     raise NotImplementedError(
         "image codec library required for this format: install Pillow "
-        "(optional dependency, auto-detected at import) — only 24-bit BMP "
-        "decodes without it; or pass deterministic_fake=True for the "
-        "plumbing-test path"
+        "(optional dependency, auto-detected at import) — only 8-bit PNG "
+        "and 24-bit BMP decode without it; or pass deterministic_fake=True "
+        "for the plumbing-test path"
     )
 
 

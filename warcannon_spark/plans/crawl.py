@@ -751,6 +751,93 @@ class CrawlEngine:
             log.append(self.run_round(frontier))
         return log
 
+    def progress_document(self, generated_ms: int) -> dict:
+        """K3/K4 parity: the published progress DOCUMENT the reference's
+        dashboard polls (lambda_functions/progress_stream_processor/
+        main.js:13-77 folds the per-node DynamoDB heartbeat table +
+        SQS queue depth into s3://.../progress.json;
+        site_contents/progress.example.json is the shape). The
+        DataFrame-native twin folds the per-(round, partition) metrics
+        table into one item per partition ("node") and reports frontier
+        depth where the reference reports queue attributes:
+        ApproximateNumberOfMessages = crawlable-now rows (pending),
+        ApproximateNumberOfMessagesNotVisible = in-flight leases.
+
+        ``generated_ms`` is caller-supplied (reference: ``new Date()-0``)
+        so the document is deterministic under test. All folds are
+        distributed aggregations; only the ≤ num_partitions item rows
+        and the ≤ 5 status counts are collected."""
+        per_part = (
+            self.metrics()
+            .groupBy("partition_id")
+            .agg(
+                F.sum("dequeued").alias("dequeued"),
+                F.sum("pages_scanned").alias("pages_scanned"),
+                F.sum("matches_total").alias("matches_total"),
+                F.max("round").alias("last_round"),
+                (F.sum("duration_ms") / 1000.0).alias("runtime"),
+                F.map_from_entries(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.concat(
+                                    F.lit("round-"), F.col("round").cast("string")
+                                ).alias("k"),
+                                F.round(
+                                    100.0
+                                    * F.col("pages_scanned")
+                                    / F.greatest(F.col("dequeued"), F.lit(1)),
+                                    2,
+                                ).alias("pct"),
+                            )
+                        )
+                    )
+                ).alias("progress"),
+            )
+            .orderBy("partition_id")
+        )
+        status_counts = {
+            r.status: r.n
+            for r in self.frontier()
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        return {
+            "generated": int(generated_ms),
+            "metrics": [
+                {
+                    "partition_id": r.partition_id,
+                    "dequeued": int(r.dequeued),
+                    "pages_scanned": int(r.pages_scanned),
+                    "matches_total": int(r.matches_total),
+                    "last_round": int(r.last_round),
+                    "runtime": float(r.runtime),
+                    "progress": dict(r.progress),
+                }
+                for r in per_part.collect()
+            ],
+            "sqs": {
+                "ApproximateNumberOfMessages": int(
+                    status_counts.get(FR.STATUS_PENDING, 0)
+                ),
+                "ApproximateNumberOfMessagesNotVisible": int(
+                    status_counts.get(FR.STATUS_LEASED, 0)
+                ),
+            },
+        }
+
+    def publish_progress(self, path: str, generated_ms: int) -> dict:
+        """Materialize progress.json (the reference's s3.putObject)."""
+        import json
+
+        doc = self.progress_document(generated_ms)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, path)
+        return doc
+
     def close(self) -> None:
         """Release every frame this engine persisted (corpus cache,
         robots rules, crawl-delay budgets, host priorities, the Bloom

@@ -437,6 +437,49 @@ WHERE subset = 'warc' AND url_host_registered_domain IN ('h0.example')
 GROUP BY warc_filename"""
 
 
+def _ccindex_prepared_all_oracle() -> str:
+    from .sources.ccindex import CCINDEX_CTE
+
+    return f"""WITH {PAGES_CTE}, {CCINDEX_CTE}
+SELECT DISTINCT warc_filename
+FROM ccindex
+WHERE subset = 'warc' AND url_host_registered_domain = 'h3.example'"""
+
+
+def _ccindex_prepared_oracle() -> str:
+    from .sources.ccindex import CCINDEX_CTE
+
+    return f"""WITH {PAGES_CTE}, {CCINDEX_CTE}
+SELECT warc_filename, count(url_path) AS num
+FROM ccindex
+WHERE subset = 'warc' AND url_host_registered_domain = 'h0.example'
+  AND crawl = 'CC-MAIN-2'
+GROUP BY warc_filename"""
+
+
+@_q("athena_domain_search_all", _ccindex_prepared_all_oracle())
+def q_athena_domain_search_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's prepared statement ``domain_search_all``
+    (populate_athena.sh:56) EXECUTEd with domain='h3.example' —
+    parameterized Spark SQL over the catalog ccindex table."""
+    from .sources.ccindex import prepared_domain_search_all
+
+    return prepared_domain_search_all(spark, sf_dir, domain="h3.example")
+
+
+@_q("athena_domain_search", _ccindex_prepared_oracle())
+def q_athena_domain_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's prepared statement ``domain_search``
+    (populate_athena.sh:57-58) EXECUTEd with ('h0.example',
+    'CC-MAIN-2') — partition pruning on (subset, crawl) plan-asserted in
+    tests/test_plans.py."""
+    from .sources.ccindex import prepared_domain_search
+
+    return prepared_domain_search(
+        spark, sf_dir, domain="h0.example", crawl="CC-MAIN-2"
+    )
+
+
 @_q("ccindex_campaign_scope", _ccindex_oracle())
 def q_ccindex_campaign_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 at the reference's actual entry surface: the 27-column ccindex
@@ -917,16 +960,107 @@ def q_streaming_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("crawl_frontier_state")  # rows-only: multi-round stateful loop, not SQL
-def q_crawl_frontier_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full CrawlEngine driven for 3 rounds over a linked corpus
-    derived from documents — returns the frontier dump (FIXTURES.md §6).
-    Deterministic across runs (pinned by tests); registered rows-only
-    because the multi-round snapshot loop is not single-statement SQL."""
+def _crawl_rounds_cte() -> str:
+    """Shared CTE chain for the crawl-loop oracles (round-3 VERDICT
+    item 5): the flagship e2e loop as unrolled SQL — one CTE block per
+    crawl round (dequeue → fetch-semi-join → outcome fold → link
+    discovery → frontier union), the host_pagerank technique. The
+    dequeue budget in the Spark queries covers every eligible URL, so
+    the xxhash64-ordered politeness ranking (not expressible in DuckDB)
+    cannot affect WHICH rows are leased — the per-host top-k ranking
+    itself stays oracle-checked by politeness_topk. Hash-derived
+    columns (url_hash, priority, partition_id) are excluded from
+    compared outputs for the same reason; status/attempts/discovery
+    lineage are fully checked."""
+    from .sources.pages import PAGES_CTE
+
+    round_tpl = """
+e{r} AS (SELECT * FROM f{p} WHERE status = 'pending'),
+g{r} AS (SELECT e.* FROM e{r} e
+         WHERE EXISTS (SELECT 1 FROM linked l WHERE l.url = e.canon_url)),
+m{r} AS (SELECT e.* FROM e{r} e
+         WHERE NOT EXISTS (SELECT 1 FROM linked l WHERE l.url = e.canon_url)),
+n{r} AS (SELECT DISTINCT pl.link AS canon_url FROM plinks pl
+         WHERE EXISTS (SELECT 1 FROM g{r} g WHERE g.canon_url = pl.url)
+           AND NOT EXISTS (SELECT 1 FROM f{p} f WHERE f.canon_url = pl.link)),
+f{r} AS (
+  SELECT canon_url, status, attempts, discovered_round
+  FROM f{p} WHERE status <> 'pending'
+  UNION ALL
+  SELECT canon_url, 'done', attempts, discovered_round FROM g{r}
+  UNION ALL
+  SELECT canon_url,
+         CASE WHEN attempts + 1 >= 3 THEN 'failed' ELSE 'pending' END,
+         attempts + 1, discovered_round
+  FROM m{r}
+  UNION ALL
+  SELECT canon_url, 'pending', 0, {r} FROM n{r}
+)"""
+    rounds = ",".join(round_tpl.format(r=r, p=r - 1) for r in (1, 2, 3))
+    return f"""WITH {PAGES_CTE},
+linked AS (
+  SELECT url,
+         text || ' <a href="https://h' ||
+           CAST(CASE WHEN (fetch_seq + 1) % 3 = 0 THEN 0
+                     ELSE (fetch_seq + 1) % 37 END AS VARCHAR) ||
+           '.example/p/' || CAST((fetch_seq + 1) % 500 AS VARCHAR) ||
+           '">n</a>' AS text
+  FROM pages
+),
+plinks AS (
+  SELECT DISTINCT url, unnest(regexp_extract_all(text, 'href="(https?://[^"]+)"', 1)) AS link
+  FROM linked
+),
+f0 AS (
+  SELECT url AS canon_url, 'pending' AS status, 0 AS attempts,
+         0 AS discovered_round
+  FROM (SELECT url FROM pages ORDER BY fetch_seq LIMIT 40)
+),{rounds}"""
+
+
+def _crawl_state_oracle() -> str:
+    return f"""{_crawl_rounds_cte()}
+SELECT canon_url,
+       regexp_extract(canon_url, 'https?://([^/]+)', 1) AS host,
+       status,
+       CAST(attempts AS INT) AS attempts,
+       CAST(discovered_round AS INT) AS discovered_round
+FROM f3"""
+
+
+def _crawl_metrics_oracle() -> str:
+    """Per-round scheduler metrics (the north_rule lineage totals) from
+    the same unrolled CTEs: dequeued = the round's eligible set, fetched
+    = the rows the fetch semi-join matched."""
+    per_round = " UNION ALL ".join(
+        f"SELECT {r} AS round, "
+        f"CAST((SELECT count(*) FROM e{r}) AS BIGINT) AS dequeued, "
+        f"CAST((SELECT count(*) FROM g{r}) AS BIGINT) AS pages_scanned"
+        for r in (1, 2, 3)
+    )
+    return f"""{_crawl_rounds_cte()}
+{per_round}"""
+
+
+# one fixture crawl per (session, sf_dir): both crawl-loop oracle
+# queries read the same 3-round engine run
+_CRAWL_FIXTURE: dict[tuple[int, str], object] = {}
+
+
+def _crawl_fixture_engine(spark: SparkSession, sf_dir: str):
+    """Drive the full CrawlEngine for 3 rounds over a linked corpus
+    derived from documents (FIXTURES.md §6) — memoized per session +
+    sf_dir so the frontier-state and round-metrics oracle queries share
+    one run. Budget covers every eligible URL so lease selection is
+    order-free (see _crawl_rounds_cte); use_bloom=False keeps the novel
+    check exact (no probabilistic admits to mismatch the oracle)."""
     import tempfile
 
     from .plans.crawl import CrawlEngine
 
+    key = (id(spark), sf_dir)
+    if key in _CRAWL_FIXTURE:
+        return _CRAWL_FIXTURE[key]
     pages = pages_df(spark, sf_dir)
     linked = pages.withColumn(
         "text",
@@ -947,16 +1081,47 @@ def q_crawl_frontier_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.mkdtemp(prefix="crawlq-"),
         pages=linked,
         robots=None,
-        budget_per_host=5,
+        budget_per_host=100_000,  # covers every eligible URL per host
         num_partitions=8,
+        use_bloom=False,  # exact novel check — no probabilistic admits
     )
     eng.seed(seeds)
     for _ in range(3):
         if eng.drained():
             break
         eng.run_round()
+    _CRAWL_FIXTURE[key] = eng
+    return eng
+
+
+@_q("crawl_frontier_state", _crawl_state_oracle())
+def q_crawl_frontier_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier dump of the 3-round fixture crawl, oracle-checked
+    against unrolled per-round SQL CTEs (round-3 VERDICT item 5):
+    status/attempt/discovery state transitions are hash-compared with
+    DuckDB."""
+    eng = _crawl_fixture_engine(spark, sf_dir)
     return eng.frontier().select(
-        "canon_url", "url_hash", "host", "status", "attempts", "partition_id"
+        "canon_url", "host", "status", "attempts", "discovered_round"
+    )
+
+
+@_q("crawl_round_metrics", _crawl_metrics_oracle())
+def q_crawl_round_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round scheduler totals (north_rule lineage: what each round
+    DEQUEUED and actually FETCHED) from the fixture crawl's committed
+    metrics table, oracle-checked against the same unrolled CTE chain —
+    the progress-document fold (CrawlEngine.progress_document) reads
+    exactly these rows."""
+    eng = _crawl_fixture_engine(spark, sf_dir)
+    return (
+        eng.metrics()
+        .groupBy("round")
+        .agg(
+            F.sum("dequeued").alias("dequeued"),
+            F.sum("pages_scanned").alias("pages_scanned"),
+        )
+        .select(F.col("round").cast("int").alias("round"), "dequeued", "pages_scanned")
     )
 
 

@@ -157,6 +157,44 @@ def example_index_query(spark: SparkSession, sf_dir: str, domain: str = "h0.exam
     )
 
 
+# The reference's Athena PREPARED STATEMENTS (populate_athena.sh:56-59),
+# ported as parameterized Spark SQL — spark.sql(..., args=...) is the
+# PREPARE/EXECUTE analog (named markers instead of positional '?').
+
+
+def prepared_domain_search_all(
+    spark: SparkSession, sf_dir: str, domain: str
+) -> DataFrame:
+    """``PREPARE domain_search_all FROM SELECT DISTINCT(warc_filename) …
+    WHERE subset = 'warc' AND url_host_registered_domain = ?`` — every
+    warc file that contains a domain, across all crawls
+    (populate_athena.sh:56)."""
+    ensure_ccindex(spark, sf_dir)
+    return spark.sql(
+        f"SELECT DISTINCT(warc_filename) AS warc_filename FROM {CCINDEX_TABLE}"
+        " WHERE subset = 'warc' AND url_host_registered_domain = :domain"
+        " ORDER BY warc_filename ASC",
+        args={"domain": domain},
+    )
+
+
+def prepared_domain_search(
+    spark: SparkSession, sf_dir: str, domain: str, crawl: str
+) -> DataFrame:
+    """``PREPARE domain_search FROM SELECT warc_filename, COUNT(url_path)
+    as num … WHERE subset = 'warc' AND url_host_registered_domain = ?
+    AND crawl = ? GROUP BY warc_filename ORDER BY num DESC`` — the
+    per-crawl campaign scoper (populate_athena.sh:57; the EXECUTE
+    example at :58)."""
+    ensure_ccindex(spark, sf_dir)
+    return spark.sql(
+        f"SELECT warc_filename, COUNT(url_path) AS num FROM {CCINDEX_TABLE}"
+        " WHERE subset = 'warc' AND url_host_registered_domain = :domain"
+        " AND crawl = :crawl GROUP BY warc_filename ORDER BY num DESC",
+        args={"domain": domain, "crawl": crawl},
+    )
+
+
 # DuckDB twin of ccindex_rows (over PAGES_CTE's ``pages``).
 CCINDEX_CTE = """
 ccindex AS (
