@@ -469,8 +469,8 @@ def test_engine_close_releases_caches_and_resume_still_works(spark, tmp_path):
     eng.run_round()
     # the engine's long-lived caches exist after a round ...
     assert eng.pages.is_cached  # corpus cache (cache_corpus=True)
-    assert eng._resolved is not None and eng._resolved.is_cached
-    held = [eng.pages, eng._resolved] + (
+    assert eng._hot is not None and eng._hot.is_cached
+    held = [eng.pages, eng._hot] + (
         [eng._bloom.filters] if eng._bloom is not None else []
     )
     eng.close()

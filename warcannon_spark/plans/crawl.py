@@ -56,7 +56,11 @@ from pyspark.sql import functions as F
 # LINK_RE is shared with the PageRank priority path so the scheduler
 # signal and the crawler extract the same link set by construction.
 from ..operators.graph import LINK_HREF_RE as LINK_RE
-from ..operators.matcher import extract_matches, hits_from_match_lists
+from ..operators.matcher import (
+    anchor_prefilter,
+    extract_matches,
+    hits_from_match_lists,
+)
 from ..sources.tableio import TableIO
 from . import frontier as FR
 from .bloom import BITS_PER_KEY, build_bloom, novel_urls, or_into_bloom
@@ -187,8 +191,22 @@ class CrawlEngine:
         self.t_flog = TableIO(os.path.join(workdir, "frontier_log"))
         self.t_matches = TableIO(os.path.join(workdir, "matches"))
         self.t_metrics = TableIO(os.path.join(workdir, "metrics"))
-        # incrementally-maintained resolved frontier (see module docstring)
-        self._resolved: DataFrame | None = None
+        # incrementally-maintained resolved frontier, SPLIT by liveness
+        # (round 4): _hot = pending ∪ leased rows (the ACTIVE set — what
+        # dequeue/drain scan and what the per-round anti-join∪delta
+        # maintenance re-materializes, persisted); _cold = terminal rows
+        # (done/failed/robots_blocked — append-only, kept LAZY over the
+        # base parquet + committed delta dirs, never re-cached per
+        # round). Why it matters at 10^10 URLs: a mature campaign's
+        # frontier is overwhelmingly terminal, so scanning and
+        # re-persisting the FULL frontier every round (round ≤3 design)
+        # made per-round maintenance O(|frontier|); the split makes it
+        # O(|active| + |delta|), and the terminal set is touched only by
+        # the seen-probe (url_hash projection) and compaction. Both are
+        # None on a fresh/closed engine → windowed fallback, crash
+        # semantics unchanged.
+        self._hot: DataFrame | None = None
+        self._cold: DataFrame | None = None
         # incrementally-maintained partitioned Bloom over every url_hash
         # that has EVER entered the frontier: built once from the resolved
         # frontier, then the per-round discovery delta is OR'd in
@@ -228,20 +246,33 @@ class CrawlEngine:
         )
         self.t_frontier.write(deduped, mode="overwrite", meta={"round": 0})
         # a freshly-seeded base is resolved by construction
-        self._resolved = self.t_frontier.read(self.spark)
+        self._install_split(self.t_frontier.read(self.spark))
         self._drop_bloom()
 
-    def frontier(self) -> DataFrame:
-        """Current frontier state: base ∪ committed log deltas, latest
-        updated_round wins per url_hash. A live engine answers from the
-        incrementally-maintained resolved view (≤ compact_every hash
-        anti-joins over a plain base read — no per-round sort window);
-        a fresh/resumed engine falls back to the windowed merge once,
-        until its first commit or compaction re-anchors the chain. Log
-        rows beyond the committed round cannot exist (the log append IS
-        the commit)."""
-        if self._resolved is not None:
-            return self._resolved
+    _ACTIVE = (FR.STATUS_PENDING, FR.STATUS_LEASED)
+
+    def _install_split(self, resolved: DataFrame) -> None:
+        """Install hot/cold views over an already-RESOLVED frontier frame
+        (base read after seed/compaction). Hot is persisted (materialized
+        lazily on first use); cold stays a lazy filter over the same
+        storage."""
+        old = self._hot
+        self._hot = resolved.filter(F.col("status").isin(*self._ACTIVE)).persist()
+        self._cold = resolved.filter(~F.col("status").isin(*self._ACTIVE))
+        if old is not None:
+            old.unpersist()
+
+    def _ensure_split(self) -> tuple[DataFrame, DataFrame]:
+        """(hot, cold) for a live engine; a fresh/resumed engine resolves
+        the windowed view once and splits it (re-anchored at its first
+        commit/compaction)."""
+        if self._hot is None:
+            f = self._windowed_frontier()
+            self._hot = f.filter(F.col("status").isin(*self._ACTIVE)).persist()
+            self._cold = f.filter(~F.col("status").isin(*self._ACTIVE))
+        return self._hot, self._cold
+
+    def _windowed_frontier(self) -> DataFrame:
         base = self.t_frontier.read(self.spark)
         if not self.t_flog.exists() or not self.t_flog.meta():
             return base
@@ -257,6 +288,18 @@ class CrawlEngine:
             .drop("__rn")
         )
 
+    def frontier(self) -> DataFrame:
+        """Current frontier state: base ∪ committed log deltas, latest
+        updated_round wins per url_hash. A live engine answers from the
+        incrementally-maintained hot ∪ cold split (see __init__) — no
+        per-round sort window; a fresh/resumed engine falls back to the
+        windowed merge once, until its first commit or compaction
+        re-anchors the chain. Log rows beyond the committed round cannot
+        exist (the log append IS the commit)."""
+        if self._hot is not None and self._cold is not None:
+            return self._hot.unionByName(self._cold)
+        return self._windowed_frontier()
+
     def _commit_delta(
         self, delta: DataFrame | None, rnd: int, data_dir: str | None = None
     ) -> None:
@@ -265,22 +308,21 @@ class CrawlEngine:
         run_round overlaps the delta write with the other table writes
         and passes the dir here so only the manifest commit + resolved-
         cache advance remain on the critical path.
-        Afterwards advance the resolved cache incrementally: the delta is
+        Afterwards advance the hot/cold split incrementally: the delta is
         read BACK from the committed dir (no recompute, all inputs on
-        disk) and applied as anti-join ∪ delta, then PERSISTED eagerly —
-        the round-3 profile showed the lazy chain re-evaluating base +
-        all prior hops at every frontier use (dequeue, seen-set, next
-        commit), which dominated round wall-clock. Now each round reads
-        the previous round's cached blocks + its own delta exactly once.
-        The cache is a working-set materialization of the CURRENT
-        frontier (MEMORY_AND_DISK locally; an Iceberg deployment's
-        equivalent is the compacted base + delta chain, which the
-        windowed fallback in frontier() still resolves from cold —
-        crash/resume semantics unchanged)."""
+        disk); the ACTIVE side applies as anti-join ∪ active-delta and is
+        re-persisted eagerly — O(|active| + |delta|), NOT O(|frontier|):
+        terminal rows never re-materialize, the cold side just gains a
+        lazy union arm over the committed dir (bounded by compact_every,
+        then folded into the base). The round-3 design re-persisted the
+        whole frontier every round; at a mature campaign that is almost
+        all dead weight. The windowed fallback in frontier() still
+        resolves everything from cold storage — crash/resume semantics
+        unchanged."""
         t0 = time.time()
         self.last_commit_timings: dict[str, float] = {}
-        prev = self.frontier()  # captured BEFORE the append (reads are
-        # manifest-pinned at construction, so the view is stable)
+        prev_hot, prev_cold = self._ensure_split()  # captured BEFORE the
+        # append (reads are manifest-pinned at construction — stable)
         if data_dir is None:
             # delta rows inherit the fetch path's task count — coalesce so
             # a ~10^5-row commit lands as a handful of files, not ~100
@@ -295,19 +337,24 @@ class CrawlEngine:
         # ALWAYS advance the chain before a possible compaction — compact
         # folds self.frontier(), which must already include this delta.
         committed = self.t_flog.read_last_dir(self.spark)
+        active = F.col("status").isin(*self._ACTIVE)
         # (string-key joins move the key column first — restore schema order)
-        resolved = (
-            prev.join(committed.select("url_hash"), "url_hash", "left_anti")
-            .unionByName(committed)
-            .select(*prev.columns)
+        hot = (
+            prev_hot.join(committed.select("url_hash"), "url_hash", "left_anti")
+            .unionByName(committed.filter(active))
+            .select(*prev_hot.columns)
             # union appends the delta's partitions to prev's — coalesce
-            # keeps the cached frontier at a stable partition count
+            # keeps the cached active set at a stable partition count
             # instead of growing by ~|delta partitions| every round.
             .coalesce(self.P)
         ).persist()
-        resolved.count()  # materialize BEFORE dropping prev's blocks
-        old = self._resolved
-        self._resolved = resolved
+        hot.count()  # materialize BEFORE dropping prev's blocks
+        old = self._hot
+        self._hot = hot
+        # terminal keys only ever ENTER cold (they were hot before this
+        # round and can never be touched again), so append-without-dedup
+        # preserves the unique-per-url_hash invariant.
+        self._cold = prev_cold.unionByName(committed.filter(~active))
         if old is not None:
             old.unpersist()
         self.last_commit_timings["resolve"] = round(time.time() - t0, 3)
@@ -320,13 +367,13 @@ class CrawlEngine:
         """Fold the log into the base and reset the log. Idempotent under
         crashes: base and log both carry round=rnd metadata, and the
         latest-wins merge tolerates rows existing in both. Re-anchors the
-        resolved cache on the freshly-written base (lineage reset)."""
+        hot/cold split on the freshly-written base (lineage reset)."""
         merged = self.frontier().persist()
         merged.count()
         self.t_frontier.write(merged, mode="overwrite", meta={"round": rnd})
         self.t_flog.truncate(meta={"round": rnd})
         merged.unpersist()
-        self._resolved = self.t_frontier.read(self.spark)
+        self._install_split(self.t_frontier.read(self.spark))
 
     # -- incremental Bloom maintenance ---------------------------------------
     def _drop_bloom(self) -> None:
@@ -392,14 +439,14 @@ class CrawlEngine:
         )
 
     def drained(self, frontier: DataFrame | None = None) -> bool:
-        """R4 drain detection: nothing eligible now or ever again. Accepts
-        an already-resolved (ideally persisted) frontier so run() pays ONE
-        base∪log latest-wins resolution per round, not two."""
-        f = self.frontier() if frontier is None else frontier
+        """R4 drain detection: nothing eligible now or ever again —
+        answered from the cached ACTIVE set alone (terminal rows can
+        never become eligible)."""
+        f = self._ensure_split()[0] if frontier is None else frontier
         return FR.eligible_now(f, self.round_no).limit(1).count() == 0
 
     # -- one round ------------------------------------------------------------
-    def run_round(self, frontier: DataFrame | None = None) -> dict:
+    def run_round(self) -> dict:
         t0 = time.time()
         tprev = t0
         self.last_timings: dict[str, float] = {}
@@ -411,11 +458,14 @@ class CrawlEngine:
             tprev = now
 
         rnd = self.round_no + 1
-        frontier = (self.frontier() if frontier is None else frontier).persist()
+        # the ACTIVE set is the round's working frame: dequeue, miss set
+        # and the novel-probe all scan it; the terminal set contributes
+        # only its url_hash projection to the seen probe.
+        hot, cold = self._ensure_split()
         # every frame persisted during THIS round — released in the
         # finally block so a crashed round (fetch failure, poisoned
         # matcher) cannot leak caches into a long-lived driver (VERDICT
-        # r3 item 4). The engine-level resolved cache is exempt: on the
+        # r3 item 4). The engine-level hot cache is exempt: on the
         # failure path it must survive for the replay.
         persisted: list[DataFrame] = []
         try:
@@ -431,14 +481,35 @@ class CrawlEngine:
                 self._host_budgets = crawl_delay_budgets(
                     self.robots, self._round_seconds, self.budget
                 ).persist()
+            # per-(round, partition) metrics ride the two materializing
+            # actions as Observations (CollectMetrics) instead of a
+            # dedicated union-aggregate job — the round-4 profile showed
+            # that job costing ~1-2 s of pure stage overhead for ≤ P
+            # rows. P conditional-sum expressions per counter are cheap
+            # JVM-side aggregates; above 256 partitions the expression
+            # fan-out stops being free and the aggregate-job path below
+            # takes over.
+            obs_metrics = self.P <= 256
+            dq_obs = Observation()
             batch = FR.politeness_dequeue(
-                frontier,
+                hot,
                 round_no=rnd,
                 budget_per_host=self.budget,
                 max_hosts=self.max_hosts_per_round,
                 host_priority=self.host_priority,
                 host_budgets=self._host_budgets,
-            ).persist()
+            )
+            if obs_metrics:
+                batch = batch.observe(
+                    dq_obs,
+                    *[
+                        F.sum(
+                            F.when(F.col("partition_id") == i, 1).otherwise(0)
+                        ).alias(f"p{i}")
+                        for i in range(self.P)
+                    ],
+                )
+            batch = batch.persist()
             persisted.append(batch)
             # materializes the persisted batch once; also the regime switch
             # input for fetch_join's broadcast ceiling.
@@ -485,12 +556,52 @@ class CrawlEngine:
                 if self.discover_links
                 else F.array().cast("array<string>")
             )
+            # the matcher UDF's INPUT is gated by the JVM anchor
+            # prefilter: non-candidate pages ship an empty string across
+            # the Arrow boundary instead of their whole text (the
+            # UDF-under-when trap — Catalyst evaluates extracted Python
+            # UDFs unconditionally, so gating the ARGUMENT, not the
+            # call, is what actually cuts the transfer). The anchor
+            # invariant (every match contains a literal anchor) makes
+            # this lossless; link extraction stays JVM-side over the
+            # full text.
+            gated_text = F.when(
+                anchor_prefilter(F.col("text")), F.col("text")
+            ).otherwise(F.lit(""))
             enriched = got.select(
                 *batch.columns,
-                extract_matches(F.col("text")).alias("__ms"),
+                extract_matches(gated_text).alias("__ms"),
                 link_col.alias("__links"),
-            ).persist()
+            )
+            en_obs = Observation()
+            if obs_metrics:
+                per_part = []
+                for i in range(self.P):
+                    mine = F.col("partition_id") == i
+                    per_part.append(
+                        F.sum(F.when(mine, 1).otherwise(0)).alias(f"ps{i}")
+                    )
+                    per_part.append(
+                        F.sum(
+                            F.when(mine, F.size("__ms")).otherwise(0)
+                        ).alias(f"mt{i}")
+                    )
+                enriched = enriched.observe(en_obs, *per_part)
+            enriched = enriched.persist()
             persisted.append(enriched)
+            # ONE materializing action for the round's heavy compute
+            # (fetch join + fused matcher + link extraction); every
+            # downstream consumer — the three table writes below — reads
+            # the slim cache. Materializing here (not inside a write
+            # job) is what makes the overlapped writes safe: concurrent
+            # jobs over a NOT-yet-cached frame would each recompute the
+            # matcher scan. The hit EXPLODE is not materialized
+            # separately: it runs once, inside the matches-write thread
+            # (its count rides that write as an Observation), and the
+            # metrics fold reads match counts as size(__ms) — one fewer
+            # cache pass + job than round 3.
+            enriched.count()
+            _mark("fetch_match")
 
             # hit stream: explode the cached match lists (no UDF re-run).
             hits = hits_from_match_lists(
@@ -501,17 +612,7 @@ class CrawlEngine:
                     "__ms",
                 ),
                 passthrough=["partition_id", "host_rank"],
-            ).persist()
-            persisted.append(hits)
-            # ONE materializing action for the round's heavy compute
-            # (fetch join + fused matcher + link extraction + hit
-            # explode); every downstream consumer — the three table
-            # writes below — reads the slim caches. Materializing here
-            # (not inside a write job) is what makes the overlapped
-            # writes safe: concurrent jobs over a NOT-yet-cached frame
-            # would each recompute the matcher scan.
-            n_matches = hits.count()
-            _mark("fetch_match")
+            )
 
             # done/miss outcome split — semi/anti joins of the cached
             # batch against the fetched keys. The semi join dedups
@@ -533,33 +634,57 @@ class CrawlEngine:
             discovered = 0
             new_rows = None
             if self.discover_links:
-                links = enriched.select(
-                    F.explode("__links").alias("url")
-                ).distinct()
+                # no pre-canonicalize distinct: dedup happens ONCE on
+                # url_hash after canonicalization (two raw spellings of
+                # one canonical URL had to be deduped there anyway) —
+                # one exchange instead of two in the discovery chain.
+                links = enriched.select(F.explode("__links").alias("url"))
                 cand = FR.frontier_rows(
                     links, round_no=rnd, num_partitions=self.P
-                ).persist()
-                persisted.append(cand)
-                seen = frontier.select("url_hash")
+                )
+                # seen = EVERY key that has ever entered the frontier:
+                # cached active keys ∪ the terminal set's key projection
+                # (column-pruned parquet scan — the one per-round touch
+                # of cold, and only when link discovery runs unbloomed)
+                seen = hot.select("url_hash").unionByName(
+                    cold.select("url_hash")
+                )
                 # The Bloom BUILD pays for itself only when discovery batches
                 # are large; once built it is maintained INCREMENTALLY (delta
                 # OR-in, never an O(|frontier|) rebuild), so any later round
                 # probes it for free. The gate signal is LAST round's novel
                 # count — candidates are not separately counted (that was a
                 # whole extra job per round incl. the canonicalize UDF).
+                # NOTE on a frontier-size gate (tried, reverted): building
+                # the Bloom just because the frontier is large does NOT
+                # remove the O(|seen|) cost — maybe-positives still need
+                # the exact confirm join, which scans the seen side
+                # regardless, so the probe infrastructure was pure
+                # overhead whenever discovery is small. The Bloom pays
+                # for itself only when CANDIDATE volume is high (most
+                # candidates pass the definite-new fast path) — exactly
+                # what bloom_min_candidates gates on.
                 if self.use_bloom and (
                     self._bloom is not None
                     or self._last_novel >= self.bloom_min_candidates
                 ):
-                    bloom = self._ensure_bloom(frontier)
+                    bloom = self._ensure_bloom(self.frontier())
+                    # the probe branches (definite-new ∪ confirmed-maybe)
+                    # consume cand twice — cache it so the canonicalize
+                    # UDF runs once. On the exact path cand flows through
+                    # a single anti-join: no cache needed.
+                    cand = cand.persist()
+                    persisted.append(cand)
                 else:
                     bloom = None
                 novel = novel_urls(cand, seen, bloom).dropDuplicates(["url_hash"])
-                new_rows = novel.persist()
-                persisted.append(new_rows)
+                new_rows = novel
+                if bloom is not None:
+                    # reused by _absorb_bloom_delta after the commit
+                    new_rows = new_rows.persist()
+                    persisted.append(new_rows)
                 # the novel count is OBSERVED during the commit write below —
-                # no dedicated count() action; cand stays cached until the
-                # write materializes new_rows (unpersisted at round end).
+                # no dedicated count() action.
                 _mark("novel_check")
 
             # round delta: replacement rows for touched URLs + discoveries —
@@ -589,49 +714,88 @@ class CrawlEngine:
                     new_rows.observe(novel_obs, F.count(F.lit(1)).alias("n"))
                 )
 
-            # metrics: per-(round, partition) lineage (north_rule). ONE
-            # union-aggregate over the already-persisted frames instead of a
-            # three-way join of three separate aggregations — one tiny
-            # shuffle, one job (round-3 profile: the join chain cost ~1.5 s
-            # of pure stage overhead per round).
-            def _tagged(df: DataFrame, dq: int, ps: int, mt: int) -> DataFrame:
-                # coalesce: the cached inputs carry the fetch path's task
-                # counts; 8 read tasks per side is plenty for key-only rows.
-                return df.select(
-                    "partition_id",
-                    F.lit(dq).alias("dq"),
-                    F.lit(ps).alias("ps"),
-                    F.lit(mt).alias("mt"),
-                ).coalesce(8)
-
-            stats = (
-                _tagged(batch, 1, 0, 0)
-                .unionByName(_tagged(enriched, 0, 1, 0))
-                .unionByName(_tagged(hits, 0, 0, 1))
-                .groupBy("partition_id")
-                .agg(
-                    F.sum("dq").alias("dequeued"),
-                    F.sum("ps").alias("pages_scanned"),
-                    F.sum("mt").alias("matches_total"),
+            # metrics: per-(round, partition) lineage (north_rule).
+            # Preferred path: the counters were OBSERVED on the two
+            # materializing actions above — fold them into ≤ P local
+            # rows, zero extra distributed jobs (the write below is a
+            # local-rows parallelize). Fallback (P > 256): one
+            # union-aggregate job over the caches.
+            if obs_metrics:
+                dqm, enm = dq_obs.get, en_obs.get
+                dur = int((time.time() - t0) * 1000)
+                stat_rows = []
+                for i in range(self.P):
+                    dq = int(dqm[f"p{i}"] or 0)
+                    ps = int(enm[f"ps{i}"] or 0)
+                    mt = int(enm[f"mt{i}"] or 0)
+                    if dq or ps or mt:  # parity with the aggregate path:
+                        # partitions with no activity have no row
+                        stat_rows.append((rnd, i, dq, ps, mt, dur))
+                # VALUES SQL, not createDataFrame: parallelizing local
+                # Python rows routes the write task through a Python
+                # worker (unpickle + convert), and under the concurrent
+                # UDF jobs the worker pool is saturated — a 64-row write
+                # measured 5+ s. A VALUES relation stays entirely JVM-side.
+                if stat_rows:
+                    vals = ",".join(
+                        f"({r}L,{i},{dq}L,{ps}L,{mt}L,{du}L)"
+                        for r, i, dq, ps, mt, du in stat_rows
+                    )
+                else:
+                    vals = "(0L,0,0L,0L,0L,0L)"
+                stats = self.spark.sql(
+                    f"SELECT * FROM VALUES {vals} AS t(round, partition_id,"
+                    " dequeued, pages_scanned, matches_total, duration_ms)"
+                    + ("" if stat_rows else " WHERE 1=0")
                 )
-                .select(
+            else:
+                stats = (
+                    batch.select(
+                        "partition_id",
+                        F.lit(1).alias("dq"),
+                        F.lit(0).alias("ps"),
+                        F.lit(0).cast("int").alias("mt"),
+                    )
+                    .coalesce(8)
+                    .unionByName(
+                        enriched.select(
+                            "partition_id",
+                            F.lit(0).alias("dq"),
+                            F.lit(1).alias("ps"),
+                            F.size("__ms").alias("mt"),
+                        ).coalesce(8)
+                    )
+                    .groupBy("partition_id")
+                    .agg(
+                        F.sum("dq").alias("dequeued"),
+                        F.sum("ps").alias("pages_scanned"),
+                        F.sum("mt").alias("matches_total"),
+                    )
+                    .select(
+                        F.lit(rnd).cast("bigint").alias("round"),
+                        "partition_id",
+                        "dequeued",
+                        "pages_scanned",
+                        "matches_total",
+                        F.lit(int((time.time() - t0) * 1000))
+                        .cast("bigint")
+                        .alias("duration_ms"),
+                    )
+                )
+            match_obs = Observation()
+            out_matches = (
+                hits.select(
                     F.lit(rnd).alias("round"),
+                    "url",
+                    "domain",
+                    "pattern",
+                    "value",
+                    "value_sha1",
                     "partition_id",
-                    "dequeued",
-                    "pages_scanned",
-                    "matches_total",
-                    F.lit(int((time.time() - t0) * 1000)).alias("duration_ms"),
                 )
+                .observe(match_obs, F.count(F.lit(1)).alias("n"))
+                .coalesce(max(4, self.P // 8))
             )
-            out_matches = hits.select(
-                F.lit(rnd).alias("round"),
-                "url",
-                "domain",
-                "pattern",
-                "value",
-                "value_sha1",
-                "partition_id",
-            ).coalesce(max(4, self.P // 8))
 
             # crash recovery (replays only): compact away rows a crashed
             # attempt at this round appended — BEFORE the new writes.
@@ -649,16 +813,29 @@ class CrawlEngine:
             # and crash story are byte-identical to the sequential path.
             from concurrent.futures import ThreadPoolExecutor
 
+            self.last_write_timings: dict[str, float] = {}
+
+            def _timed(name: str, table: TableIO, df: DataFrame) -> str:
+                w0 = time.time()
+                d = table.write_data(df)
+                self.last_write_timings[name] = round(time.time() - w0, 3)
+                return d
+
             with ThreadPoolExecutor(max_workers=3) as ex:
-                f_m = ex.submit(self.t_matches.write_data, out_matches)
-                f_s = ex.submit(self.t_metrics.write_data, stats.coalesce(1))
+                f_m = ex.submit(_timed, "matches", self.t_matches, out_matches)
+                f_s = ex.submit(
+                    _timed, "metrics", self.t_metrics, stats.coalesce(1)
+                )
                 f_d = ex.submit(
-                    self.t_flog.write_data,
+                    _timed,
+                    "flog",
+                    self.t_flog,
                     delta.coalesce(max(4, self.P // 4)),
                 )
                 matches_dir = f_m.result()
                 metrics_dir = f_s.result()
                 delta_dir = f_d.result()
+            n_matches = int(match_obs.get["n"])
             _mark("table_writes")
 
             self.t_matches.commit_dir(
@@ -695,13 +872,9 @@ class CrawlEngine:
             # introspection hook (tests assert crash-path hygiene on the
             # round's own frames instead of racy global RDD counts)
             self.last_round_frames = persisted
-            # the pre-round frontier: on success _commit_delta already
-            # swapped the engine cache to the new resolved frame (and
-            # released the old one — this unpersist is then a no-op); on
-            # failure the engine's live resolved cache must NOT be
-            # dropped, or the replay would recompute it from lineage.
-            if frontier is not self._resolved:
-                frontier.unpersist()
+            # the pre-round hot cache needs no sweep here: on success
+            # _commit_delta already swapped it (and released the old
+            # frame); on failure it survives for the replay.
 
     def _drop_orphans(self, table: TableIO, rnd: int) -> None:
         """Crash recovery: if a previous attempt at round ``rnd`` appended
@@ -744,11 +917,9 @@ class CrawlEngine:
         the latest snapshots (R7)."""
         log = []
         for _ in range(max_rounds):
-            frontier = self.frontier().persist()
-            if self.drained(frontier):
-                frontier.unpersist()
+            if self.drained():  # answered from the cached active set
                 break
-            log.append(self.run_round(frontier))
+            log.append(self.run_round())
         return log
 
     def progress_document(self, generated_ms: int) -> dict:
@@ -851,11 +1022,12 @@ class CrawlEngine:
             self._rules,
             self._host_budgets,
             self.host_priority,
-            self._resolved,
+            self._hot,
         ):
             if df is not None:
                 df.unpersist()
         self._drop_bloom()
-        self._resolved = None
+        self._hot = None
+        self._cold = None
         self._rules = None
         self._host_budgets = None  # rebuilt+re-persisted lazily on reuse
