@@ -565,3 +565,59 @@ def test_multimodal_png_decodes_without_pillow(spark):
     assert (row.width, row.height) == (5, 7)
     means = rgb.reshape(-1, 3).mean(axis=0)
     assert all(abs(row.feat[i] - means[i]) < 1e-3 for i in range(3))
+
+
+def _mp4_bytes(n_frames=100, timescale=1000, duration=4000, handler=b"vide"):
+    from warcannon_spark.operators.multimodal import synth_mp4
+
+    return synth_mp4(
+        n_frames, timescale=timescale, duration=duration, handler=handler
+    )
+
+
+def test_video_metadata_parses_real_mp4_boxes(spark):
+    """REAL video-container capability without codec libs: the ISO BMFF
+    box walk must recover movie duration, video-track frame count and
+    fps from a synthetic MP4; frame_sample_plan must use the REAL frame
+    count (stsz) instead of the byte-length heuristic; non-BMFF blobs
+    degrade to NULL metadata rows."""
+    from warcannon_spark.operators.multimodal import (
+        frame_sample_plan,
+        parse_mp4_metadata,
+        video_metadata,
+    )
+
+    mp4 = _mp4_bytes(n_frames=100, timescale=1000, duration=4000)
+    meta = parse_mp4_metadata(mp4)
+    assert meta["duration_s"] == 4.0
+    assert meta["tracks"][0]["handler"] == "vide"
+    assert meta["tracks"][0]["frames"] == 100
+
+    media = spark.createDataFrame(
+        [
+            (1, "video", mp4, "video/mp4"),
+            (2, "video", b"\x00" * 5000, "video/x-raw"),  # not BMFF
+            (3, "audio", mp4, "audio/mp4"),  # filtered out (kind)
+        ],
+        "media_id long, kind string, blob binary, mime string",
+    )
+    rows = {r.media_id: r for r in video_metadata(media).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].duration_s == 4.0
+    assert rows[1].n_frames == 100
+    assert abs(rows[1].fps - 25.0) < 1e-9
+    assert rows[2].duration_s is None and rows[2].n_frames is None
+
+    # sampling plan: real stsz count (100 frames, every 10th) for the
+    # MP4; heuristic (5000//1024 = 4 frames → 1 sample) for the raw blob
+    plan = frame_sample_plan(media, every_n=10)
+    by_id = {}
+    for r in plan.collect():
+        by_id.setdefault(r.media_id, []).append(r.frame_no)
+    assert sorted(by_id[1]) == list(range(0, 100, 10))
+    assert sorted(by_id[2]) == [0]
+
+    # audio-handler track must not be mistaken for video
+    soun = _mp4_bytes(n_frames=64, handler=b"soun")
+    meta2 = parse_mp4_metadata(soun)
+    assert all(t["handler"] != "vide" for t in meta2["tracks"])

@@ -284,20 +284,182 @@ def extract_media_features(
     return media.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+# ISO BMFF (MP4/MOV) container boxes that CONTAIN other boxes — the
+# recursive walk descends only into these.
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def synth_mp4(
+    n_frames: int,
+    timescale: int = 1000,
+    duration: int | None = None,
+    handler: bytes = b"vide",
+) -> bytes:
+    """Deterministic minimal ISO BMFF container (ftyp + moov{mvhd,
+    trak{mdia{mdhd, hdlr, minf{stbl{stsz}}}}}) — the video fixture the
+    sandbox uses in place of real MP4s (no codec libs to encode one).
+    Structure is spec-conformant enough that parse_mp4_metadata must do
+    a REAL box walk to invert it; the oracle query recomputes the
+    generation parameters directly (proving parse ∘ generate = id)."""
+    if duration is None:
+        duration = n_frames * 40  # 25 fps at timescale 1000
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(
+        b"mvhd", bytes(12) + struct.pack(">II", timescale, duration) + bytes(80)
+    )
+    mdhd = box(
+        b"mdhd", bytes(12) + struct.pack(">II", timescale, duration) + bytes(4)
+    )
+    hdlr = box(b"hdlr", bytes(8) + handler + bytes(13))
+    stsz = box(b"stsz", bytes(4) + struct.pack(">II", 0, n_frames))
+    stbl = box(b"stbl", stsz)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + moov
+
+
+def _iter_mp4_boxes(blob: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the boxes in
+    blob[start:end] (ISO 14496-12 §4.2: u32 size + 4-byte type;
+    size==1 → u64 largesize follows; size==0 → box extends to end)."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", blob, pos)[0]
+        typ = blob[pos + 4 : pos + 8]
+        header = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = struct.unpack_from(">Q", blob, pos + 8)[0]
+            header = 16
+        elif size == 0:
+            size = end - pos
+        if size < header or pos + size > end:
+            return  # truncated/corrupt box — stop, keep what we have
+        yield typ, pos + header, pos + size
+        pos += size
+
+
+def parse_mp4_metadata(blob: bytes) -> dict | None:
+    """Pure-struct ISO BMFF metadata parse — REAL video-container
+    capability without codec libraries: movie duration from ``mvhd``,
+    per-track handler/frame-count/duration from ``hdlr``/``stsz``/
+    ``mdhd``. Returns None if the blob is not BMFF (no ftyp/moov).
+    Frame DECODE still needs codec libs; sampling PLANS only need these
+    counts (the same split a real pipeline uses: demux metadata on the
+    data plane, decode on GPU workers)."""
+    if len(blob) < 12 or blob[4:8] not in (b"ftyp", b"moov"):
+        return None
+    meta: dict = {"duration_s": None, "tracks": []}
+    track: dict | None = None
+
+    def walk(start: int, end: int) -> None:
+        nonlocal track
+        for typ, p0, p1 in _iter_mp4_boxes(blob, start, end):
+            if typ == b"trak":
+                track = {"handler": None, "frames": None, "duration_s": None}
+                walk(p0, p1)
+                meta["tracks"].append(track)
+                track = None
+            elif typ in _MP4_CONTAINERS:
+                walk(p0, p1)
+            elif typ == b"mvhd" and p1 - p0 >= 20:
+                version = blob[p0]
+                if version == 1 and p1 - p0 >= 28:
+                    ts = struct.unpack_from(">I", blob, p0 + 20)[0]
+                    dur = struct.unpack_from(">Q", blob, p0 + 24)[0]
+                else:
+                    ts, dur = struct.unpack_from(">II", blob, p0 + 12)
+                if ts:
+                    meta["duration_s"] = dur / ts
+            elif typ == b"mdhd" and track is not None and p1 - p0 >= 20:
+                version = blob[p0]
+                if version == 1 and p1 - p0 >= 28:
+                    ts = struct.unpack_from(">I", blob, p0 + 20)[0]
+                    dur = struct.unpack_from(">Q", blob, p0 + 24)[0]
+                else:
+                    ts, dur = struct.unpack_from(">II", blob, p0 + 12)
+                if ts:
+                    track["duration_s"] = dur / ts
+            elif typ == b"hdlr" and track is not None and p1 - p0 >= 12:
+                track["handler"] = blob[p0 + 8 : p0 + 12].decode(
+                    "ascii", errors="replace"
+                )
+            elif typ == b"stsz" and track is not None and p1 - p0 >= 12:
+                track["frames"] = struct.unpack_from(">I", blob, p0 + 8)[0]
+
+    walk(0, len(blob))
+    if meta["duration_s"] is None and not meta["tracks"]:
+        return None
+    return meta
+
+
+def video_metadata(media: DataFrame) -> DataFrame:
+    """media(media_id, kind, blob, mime) → real per-video container
+    metadata for BMFF blobs (duration, video-track frame count, fps);
+    non-BMFF blobs yield NULL fields (degrade, don't fail — a poisoned
+    blob must not kill a 100 TB stage)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                blob = bytes(r.blob) if r.blob is not None else b""
+                m = parse_mp4_metadata(blob)
+                dur = frames = fps = None
+                if m is not None:
+                    dur = m["duration_s"]
+                    vids = [
+                        t for t in m["tracks"] if t.get("handler") == "vide"
+                    ]
+                    if vids:
+                        frames = vids[0]["frames"]
+                        tdur = vids[0]["duration_s"] or dur
+                        if frames and tdur:
+                            fps = frames / tdur
+                rows.append((r.media_id, dur, frames, fps))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "duration_s", "n_frames", "fps"]
+            )
+
+    return media.filter(media.kind == "video").mapInPandas(
+        kernel, "media_id long, duration_s double, n_frames long, fps double"
+    )
+
+
 def frame_sample_plan(
     media: DataFrame, every_n: int = 10
 ) -> DataFrame:
-    """Video frame-sampling PLAN: emits (media_id, frame_no) rows for
-    every_n-th frame using blob-length-derived frame counts (the real
-    implementation replaces the count heuristic with container parsing —
-    same plan shape: mapInPandas fan-out, one output row per sampled
-    frame)."""
+    """Video frame-sampling plan: emits (media_id, frame_no) rows for
+    every_n-th frame. Frame counts come from REAL container parsing for
+    ISO BMFF (MP4/MOV) blobs — ``stsz`` sample counts via
+    parse_mp4_metadata — with the blob-length heuristic retained only
+    for non-BMFF formats (same mapInPandas fan-out plan shape either
+    way; one output row per sampled frame)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_id, out_frame = [], []
             for r in pdf.itertuples(index=False):
-                n_frames = max(1, len(bytes(r.blob) or b"") // 1024)
+                blob = bytes(r.blob) if r.blob is not None else b""
+                n_frames = None
+                m = parse_mp4_metadata(blob)
+                if m is not None:
+                    vids = [
+                        t
+                        for t in m["tracks"]
+                        if t.get("handler") == "vide" and t.get("frames")
+                    ]
+                    if vids:
+                        n_frames = vids[0]["frames"]
+                if n_frames is None:
+                    n_frames = max(1, len(blob) // 1024)
                 for f in range(0, n_frames, every_n):
                     out_id.append(r.media_id)
                     out_frame.append(f)

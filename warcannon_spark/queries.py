@@ -1457,6 +1457,48 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "video_frame_plan",
+    """SELECT doc_id AS media_id,
+       CAST(10 + doc_id % 40 AS BIGINT) AS n_frames,
+       CAST((10 + doc_id % 40) * 40 AS BIGINT) AS duration_ms
+FROM documents""",
+)
+def q_video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container metadata under the oracle gate: each
+    document becomes a deterministic minimal MP4 (synth_mp4 — ISO BMFF
+    ftyp/moov/trak/stbl boxes with n_frames = 10 + doc_id % 40 at
+    25 fps), and the Spark side recovers frame count + duration by
+    PARSING the container (operators/multimodal.parse_mp4_metadata box
+    walk) while the oracle recomputes the generation parameters
+    directly — hash equality proves parse ∘ generate = identity.
+    Frame DECODE still needs codec libs (documented gap); sampling
+    plans only need these counts."""
+    import pandas as _pd
+
+    from pyspark.sql.types import BinaryType
+
+    from .operators.multimodal import synth_mp4, video_metadata
+
+    # unannotated on purpose — string annotations with a local pd
+    # import are unresolvable by pandas_udf's type-hint inference
+    def _synth(ids):
+        return ids.map(lambda i: synth_mp4(10 + int(i) % 40))
+
+    synth_udf = F.pandas_udf(_synth, BinaryType())
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        synth_udf(F.col("doc_id")).alias("blob"),
+        F.lit("video/mp4").alias("mime"),
+    )
+    return video_metadata(media).select(
+        "media_id",
+        "n_frames",
+        F.round(F.col("duration_s") * 1000).cast("bigint").alias("duration_ms"),
+    )
+
+
+@_q(
     "dedup_embedding_cosine",
     """WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
