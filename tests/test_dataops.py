@@ -400,3 +400,57 @@ def test_word_ngrams_property_matches_python_reference(spark):
         assert got == sorted(want)
 
     check()
+
+
+def test_repetition_stats_on_planted_doc(spark):
+    """Hand-checkable repetition signals: 'a a a b' has 4 words, 2
+    distinct, top word ×3; bigrams ('a a','a a','a b') → 3 with top ×2.
+    A one-word doc contributes zero bigrams (guarded, not negative)."""
+    from warcannon_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x"), (3, "p q p q")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert (rows[1].n_words, rows[1].n_distinct_words, rows[1].top_word_count) == (4, 2, 3)
+    assert (rows[1].n_bigrams, rows[1].top_bigram_count) == (3, 2)
+    assert (rows[2].n_words, rows[2].n_bigrams, rows[2].top_bigram_count) == (1, 0, 0)
+    # 'p q p q': bigrams p q / q p / p q → top 2 of 3
+    assert (rows[3].n_bigrams, rows[3].top_bigram_count) == (3, 2)
+
+
+def test_pack_sequences_two_phase_equals_global_and_python_reference(spark):
+    """The scale-safe bucketed prefix sum must equal both a tiny-bucket
+    variant (every doc its own bucket) and a plain Python running-sum
+    reference; packs fill greedily (a boundary doc spills to the next
+    pack, so every pack's token sum stays under budget + max_doc)."""
+    from warcannon_spark.operators.curation import pack_sequences
+
+    rng = __import__("random").Random(11)
+    docs = spark.createDataFrame(
+        [(i, " ".join("w" for _ in range(rng.randint(1, 40)))) for i in range(300)],
+        "doc_id long, text string",
+    )
+    budget = 128
+    a = {r.doc_id: (r.n_tokens, r.pack_id)
+         for r in pack_sequences(docs, budget, bucket_width=64).collect()}
+    b = {r.doc_id: (r.n_tokens, r.pack_id)
+         for r in pack_sequences(docs, budget, bucket_width=1).collect()}
+    c = {r.doc_id: (r.n_tokens, r.pack_id)
+         for r in pack_sequences(docs, budget, bucket_width=10**9).collect()}
+    assert a == b == c
+
+    # python reference + greedy-fill invariants
+    run = 0
+    sums: dict[int, int] = {}
+    for i in range(300):
+        n, pid = a[i]
+        assert pid == run // budget
+        run += n
+        sums[pid] = sums.get(pid, 0) + n
+    max_doc = max(n for n, _ in a.values())
+    assert all(s < budget + max_doc for s in sums.values())
+    # every pack except the last is filled past... at least budget - max_doc
+    last = max(sums)
+    assert all(s > budget - max_doc for p, s in sums.items() if p != last)

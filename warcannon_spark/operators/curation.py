@@ -133,3 +133,69 @@ def stratified_sample(
     for stratum, pct in sorted(rates_pct.items()):
         rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(rate)
     return docs.filter(bucket < rate)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col=None,
+    bucket_width: int = 1_000_000,
+) -> DataFrame:
+    """Sequence PACKING for training: assign each document (in
+    deterministic ``id_col`` order) to a context pack such that packs
+    are filled greedily to ``budget`` tokens —
+    ``pack_id = floor(prefix_token_sum_exclusive / budget)``, the
+    standard contiguous cumulative-sum packing (a boundary document
+    spills into the next pack rather than splitting).
+
+    Scale shape — a global running sum WITHOUT a single-partition
+    window: documents are bucketed by ``floor(id / bucket_width)``,
+    prefix sums run per bucket (ordered window inside each bucket
+    only), and the per-bucket totals — ``n_docs / bucket_width`` rows,
+    e.g. 10^4 rows for 10^10 docs at the default width — are folded
+    into bucket OFFSETS driver-side and broadcast back. Identical to
+    the naive global window (pinned by test + oracle), but every
+    exchange is bucket-parallel.
+
+    ``tokens_col``: a Column with the document's token count (defaults
+    to the whitespace token count of ``text``)."""
+    if tokens_col is None:
+        tokens_col = F.size(F.split(F.col("text"), " "))
+    base = docs.select(
+        F.col(id_col),
+        tokens_col.cast("long").alias("__n_tokens"),
+        F.floor(F.col(id_col) / bucket_width).alias("__bucket"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.withColumn(
+        "__local_excl", F.coalesce(F.sum("__n_tokens").over(w), F.lit(0))
+    )
+    totals = sorted(
+        (r["__bucket"], r["t"])
+        for r in base.groupBy("__bucket")
+        .agg(F.sum("__n_tokens").alias("t"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for b, t in totals:
+        offsets.append((b, acc))
+        acc += t
+    spark = docs.sparkSession
+    off = spark.createDataFrame(offsets, "__bucket long, __offset long")
+    return (
+        local.join(F.broadcast(off), "__bucket")
+        .select(
+            id_col,
+            F.col("__n_tokens").alias("n_tokens"),
+            F.floor((F.col("__offset") + F.col("__local_excl")) / budget)
+            .cast("long")
+            .alias("pack_id"),
+        )
+    )

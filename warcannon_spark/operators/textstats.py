@@ -106,3 +106,52 @@ def fingerprints(docs: DataFrame, k: int = 4) -> DataFrame:
             ).alias("fingerprint")
         )
     )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality
+    heuristics, adapted to the corpus shape): per document, the integer
+    ingredients of the duplicate-word fraction (n_words vs
+    n_distinct_words), the top-word concentration (top_word_count) and
+    the top-bigram concentration (n_bigrams / top_bigram_count). Integer
+    outputs so the DuckDB oracle compares exactly; callers derive the
+    ratios (e.g. drop docs with top_bigram_count/n_bigrams > 0.2).
+
+    Scale shape: two hash-aggregations keyed by (doc_id, term) — both
+    partial-aggregate map-side before the exchange; no windows, no
+    Python."""
+    from .curation import word_ngrams
+
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    word_stats = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.max("c").alias("top_word_count"),
+        )
+    )
+    bigram_stats = (
+        word_ngrams(docs, n=2)
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_bigram_count"),
+        )
+    )
+    return word_stats.join(bigram_stats, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+        F.col("top_word_count").cast("long").alias("top_word_count"),
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("top_bigram_count", F.lit(0))
+        .cast("long")
+        .alias("top_bigram_count"),
+    )

@@ -1457,6 +1457,59 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "repetition_stats",
+    """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+              CAST(count(*) AS BIGINT) AS n_distinct_words,
+              CAST(max(c) AS BIGINT) AS top_word_count
+       FROM wc GROUP BY doc_id),
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gram
+       FROM toks, unnest(range(1, greatest(len(w), 1))) AS t(i)),
+bc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY doc_id, gram),
+bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+              CAST(max(c) AS BIGINT) AS top_bigram_count
+       FROM bc GROUP BY doc_id)
+SELECT ws.doc_id, n_words, n_distinct_words, top_word_count,
+       COALESCE(n_bigrams, 0) AS n_bigrams,
+       COALESCE(top_bigram_count, 0) AS top_bigram_count
+FROM ws LEFT JOIN bs ON bs.doc_id = ws.doc_id""",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals (duplicate-word and
+    top-term concentration ingredients) — integer outputs, two
+    partial-aggregated shuffles, no Python (operators/textstats)."""
+    from .operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "pack_sequences",
+    """WITH t AS (SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)
+SELECT doc_id, n AS n_tokens,
+       CAST(FLOOR(COALESCE(SUM(n) OVER (ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT)
+         AS pack_id
+FROM t""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-context sequence packing: greedy contiguous
+    cumulative-sum packs of 512 tokens in doc_id order. The Spark side
+    runs the SCALE-SAFE two-phase prefix sum (per-bucket windows +
+    driver-folded bucket offsets, bucket_width=64 here so the multi-
+    bucket path is what the oracle checks); the DuckDB twin is the
+    naive global window."""
+    from .operators.curation import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=512, bucket_width=64
+    )
+
+
+@_q(
     "video_frame_plan",
     """SELECT doc_id AS media_id,
        CAST(10 + doc_id % 40 AS BIGINT) AS n_frames,
