@@ -201,11 +201,11 @@ def test_crash_between_match_append_and_frontier_commit(
     # simulate: round 2 appended matches, then the process died before
     # the frontier snapshot commit.
     orphan = spark.createDataFrame(
-        [("https://x/", "x", "ORPHAN_PATTERN", "v", "s", 0, 1)],
-        "url string, domain string, pattern string, value string, "
-        "value_sha1 string, partition_id int, host_rank int",
+        [(2, "https://x/", "x", "ORPHAN_PATTERN", "v", "s", 0)],
+        "round int, url string, domain string, pattern string, "
+        "value string, value_sha1 string, partition_id int",
     )
-    eng1.t_matches_append(orphan, rnd=2)
+    eng1.t_matches.write(orphan, mode="append", meta={"round": 2})
     del eng1
 
     eng2 = make_engine(spark, wd)

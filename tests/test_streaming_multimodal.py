@@ -621,3 +621,42 @@ def test_video_metadata_parses_real_mp4_boxes(spark):
     soun = _mp4_bytes(n_frames=64, handler=b"soun")
     meta2 = parse_mp4_metadata(soun)
     assert all(t["handler"] != "vide" for t in meta2["tracks"])
+
+
+def test_malformed_mp4_degrades_not_fails(spark):
+    """Degrade-don't-fail for poisoned video blobs: a truncated
+    version-1 mvhd (the u64 duration would read past the box end) and
+    an adversarially deep container nesting must yield NULL metadata
+    rows, never a task-killing exception."""
+    import struct as s
+
+    from warcannon_spark.operators.multimodal import (
+        _safe_mp4_meta,
+        video_metadata,
+    )
+
+    def box(typ, payload):
+        return s.pack(">I", 8 + len(payload)) + typ + payload
+
+    # v1 mvhd with only 28 payload bytes — the u64 duration read at
+    # +24 would run past the end without the bounds fix
+    short_v1 = box(b"ftyp", b"isom" + bytes(8)) + box(
+        b"moov", box(b"mvhd", b"\x01" + bytes(27))
+    )
+    assert _safe_mp4_meta(short_v1) is None or isinstance(
+        _safe_mp4_meta(short_v1), dict
+    )
+
+    # ~5000-deep moov nesting → RecursionError inside the walk
+    deep = b"x"
+    for _ in range(5000):
+        deep = box(b"moov", deep)
+    deep = box(b"ftyp", b"isom" + bytes(8)) + deep
+    assert _safe_mp4_meta(deep) is None
+
+    media = spark.createDataFrame(
+        [(1, "video", short_v1, "video/mp4"), (2, "video", deep, "video/mp4")],
+        "media_id long, kind string, blob binary, mime string",
+    )
+    rows = {r.media_id: r for r in video_metadata(media).collect()}
+    assert rows[2].n_frames is None  # degraded, not crashed

@@ -91,7 +91,14 @@ def decontaminate(
     the TINY side only. Returns every training doc (n_overlap = 0 for
     clean ones) so the output is a drop-in filter/audit table.
     """
-    bench_grams = word_ngrams(bench, n, id_col, text_col).select("gram").distinct()
+    # persisted: the sizing count below and the probe join both consume
+    # the deduped gram set — without the cache the eval-corpus explode +
+    # distinct shuffle would run twice. The cache is eval-suite-sized
+    # (small by definition) and lives until the session ends or the
+    # caller clears it.
+    bench_grams = (
+        word_ngrams(bench, n, id_col, text_col).select("gram").distinct().persist()
+    )
     if bench_grams.count() > broadcast_ceiling_grams:
         probe_side = bench_grams.hint("SHUFFLE_HASH")
     else:
@@ -162,11 +169,15 @@ def pack_sequences(
     to the whitespace token count of ``text``)."""
     if tokens_col is None:
         tokens_col = F.size(F.split(F.col("text"), " "))
+    # persisted: the eager bucket-totals job and the returned windowed
+    # plan both consume the tokenized projection — without the cache the
+    # token counting (the dominant per-row cost) would scan the corpus
+    # twice. The cache holds (id, count, bucket) only, not text.
     base = docs.select(
         F.col(id_col),
         tokens_col.cast("long").alias("__n_tokens"),
         F.floor(F.col(id_col) / bucket_width).alias("__bucket"),
-    )
+    ).persist()
     from pyspark.sql import Window
 
     w = (

@@ -1,16 +1,20 @@
 """Multimodal column handling: image/audio/video as opaque ``binary``
 columns with typed metadata, processed through ``mapInPandas``.
 
-Codec surface (round-3; previously fully stubbed):
+Codec surface (rounds 3-4; originally fully stubbed):
   * IMAGE — three tiers: Pillow when installed (optional dependency,
-    detected at import → full JPEG/PNG/WebP/... coverage), a pure-stdlib
-    24-bit-BMP decoder always (real capability with zero dependencies —
+    detected at import → full JPEG/PNG/WebP/... coverage), pure-stdlib
+    decoders always (non-interlaced 8-bit PNG with all five row filters,
+    uncompressed 24-bit BMP — real capability with zero dependencies,
     tested in-sandbox), and the seeded deterministic fake for plumbing
     tests. Anything else raises ``NotImplementedError`` loudly.
   * AUDIO — RIFF/WAVE PCM decoding via the stdlib ``wave`` module
     (sample rate / channels / duration / RMS features); non-WAV audio
     stays byte-stats-only.
-  * VIDEO — frame-sampling PLAN only (container parsing needs codecs).
+  * VIDEO — REAL ISO BMFF (MP4/MOV) container parsing (box walk →
+    duration / track handlers / stsz frame counts; oracle-checked via
+    video_frame_plan). Frame DECODE of compressed codecs still needs
+    codec libraries — the honest remaining gap.
 
 Scale notes: mapInPandas streams Arrow batches — one media blob never
 needs to fit more than batch-size × blob bytes in the Python worker;
@@ -117,9 +121,13 @@ def _decode_png(blob: bytes) -> tuple[int, int, np.ndarray]:
         f = raw[rp]
         cur = np.frombuffer(raw, np.uint8, stride, rp + 1).astype(np.int32)
         rp += 1 + stride
-        if f == 1:  # Sub
-            for i in range(bpp, stride):
-                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        if f == 1:  # Sub — a per-channel prefix sum: vectorized cumsum
+            # over the pixel axis ((sum mod 256) == (mod of sum), so one
+            # int64 cumsum + mask is exact); the per-byte Python loop
+            # was ~1000× slower on megapixel rows
+            cur = (
+                np.cumsum(cur.reshape(w, bpp), axis=0, dtype=np.int64) & 0xFF
+            ).reshape(stride).astype(np.int32)
         elif f == 2:  # Up
             cur = (cur + prev) & 0xFF
         elif f == 3:  # Average
@@ -353,7 +361,9 @@ def parse_mp4_metadata(blob: bytes) -> dict | None:
     ``mdhd``. Returns None if the blob is not BMFF (no ftyp/moov).
     Frame DECODE still needs codec libs; sampling PLANS only need these
     counts (the same split a real pipeline uses: demux metadata on the
-    data plane, decode on GPU workers)."""
+    data plane, decode on GPU workers). Raises on malformed-but-
+    sniffable blobs — distributed callers wrap with _safe_mp4_meta
+    (degrade, don't fail)."""
     if len(blob) < 12 or blob[4:8] not in (b"ftyp", b"moov"):
         return None
     meta: dict = {"duration_s": None, "tracks": []}
@@ -371,7 +381,9 @@ def parse_mp4_metadata(blob: bytes) -> dict | None:
                 walk(p0, p1)
             elif typ == b"mvhd" and p1 - p0 >= 20:
                 version = blob[p0]
-                if version == 1 and p1 - p0 >= 28:
+                # v1 layout needs 32 payload bytes (u64 duration ends at
+                # p0+32) — a 28-31-byte box would read past the box end
+                if version == 1 and p1 - p0 >= 32:
                     ts = struct.unpack_from(">I", blob, p0 + 20)[0]
                     dur = struct.unpack_from(">Q", blob, p0 + 24)[0]
                 else:
@@ -380,7 +392,7 @@ def parse_mp4_metadata(blob: bytes) -> dict | None:
                     meta["duration_s"] = dur / ts
             elif typ == b"mdhd" and track is not None and p1 - p0 >= 20:
                 version = blob[p0]
-                if version == 1 and p1 - p0 >= 28:
+                if version == 1 and p1 - p0 >= 32:
                     ts = struct.unpack_from(">I", blob, p0 + 20)[0]
                     dur = struct.unpack_from(">Q", blob, p0 + 24)[0]
                 else:
@@ -400,6 +412,18 @@ def parse_mp4_metadata(blob: bytes) -> dict | None:
     return meta
 
 
+def _safe_mp4_meta(blob: bytes) -> dict | None:
+    """parse_mp4_metadata with the degrade-don't-fail contract the
+    distributed kernels promise: a malformed blob (truncated version-1
+    box → struct.error, adversarially deep container nesting →
+    RecursionError) yields None instead of killing the task — at 100 TB
+    a poisoned blob must not fail the stage."""
+    try:
+        return parse_mp4_metadata(blob)
+    except (struct.error, ValueError, IndexError, RecursionError):
+        return None
+
+
 def video_metadata(media: DataFrame) -> DataFrame:
     """media(media_id, kind, blob, mime) → real per-video container
     metadata for BMFF blobs (duration, video-track frame count, fps);
@@ -411,7 +435,7 @@ def video_metadata(media: DataFrame) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 blob = bytes(r.blob) if r.blob is not None else b""
-                m = parse_mp4_metadata(blob)
+                m = _safe_mp4_meta(blob)
                 dur = frames = fps = None
                 if m is not None:
                     dur = m["duration_s"]
@@ -449,7 +473,7 @@ def frame_sample_plan(
             for r in pdf.itertuples(index=False):
                 blob = bytes(r.blob) if r.blob is not None else b""
                 n_frames = None
-                m = parse_mp4_metadata(blob)
+                m = _safe_mp4_meta(blob)
                 if m is not None:
                     vids = [
                         t

@@ -263,13 +263,24 @@ class CrawlEngine:
             old.unpersist()
 
     def _ensure_split(self) -> tuple[DataFrame, DataFrame]:
-        """(hot, cold) for a live engine; a fresh/resumed engine resolves
-        the windowed view once and splits it (re-anchored at its first
-        commit/compaction)."""
+        """(hot, cold) for a live engine; a fresh/resumed engine with a
+        non-empty log COMPACTS once (always legal — fold base∪log into a
+        new base, reset the log) so BOTH sides anchor on plain parquet.
+        Without this, the lazy cold side would carry the windowed
+        base∪log merge in its lineage and re-run the O(|frontier|) sort
+        window at every per-round touch until the next scheduled
+        compaction (round-4 review finding); the one-time compaction
+        costs the same windowed resolve the round-3 resume paid, plus
+        one base write."""
         if self._hot is None:
-            f = self._windowed_frontier()
-            self._hot = f.filter(F.col("status").isin(*self._ACTIVE)).persist()
-            self._cold = f.filter(~F.col("status").isin(*self._ACTIVE))
+            try:
+                has_log = self.t_flog.exists() and self.t_flog.num_dirs() > 0
+            except FileNotFoundError:
+                has_log = False
+            if has_log:
+                self._compact(self.round_no)  # installs the split
+            else:
+                self._install_split(self.t_frontier.read(self.spark))
         return self._hot, self._cold
 
     def _windowed_frontier(self) -> DataFrame:
@@ -886,30 +897,6 @@ class CrawlEngine:
         if int(table.meta().get("round", -1)) >= rnd:
             kept = table.read(self.spark).filter(F.col("round") < rnd)
             table.write(kept, mode="overwrite", meta={"round": rnd - 1})
-
-    def t_matches_append(self, hits: DataFrame, rnd: int) -> int:
-        """``hits`` must already be persisted by the caller: the append
-        projects from its cache, and the round's own count is OBSERVED on
-        the write job itself (no extra count() action, and NOT a re-read
-        of the whole matches table, which would make every round pay
-        O(total campaign matches) to report its own count)."""
-        self._drop_orphans(self.t_matches, rnd)
-        obs = Observation()
-        out = (
-            hits.select(
-                F.lit(rnd).alias("round"),
-                "url",
-                "domain",
-                "pattern",
-                "value",
-                "value_sha1",
-                "partition_id",
-            )
-            .observe(obs, F.count(F.lit(1)).alias("n"))
-            .coalesce(max(4, self.P // 8))
-        )
-        self.t_matches.write(out, mode="append", meta={"round": rnd})
-        return int(obs.get["n"])
 
     def run(self, max_rounds: int = 100) -> list[dict]:
         """Run rounds until drained (R4) or max_rounds. Safe to call on a

@@ -1058,7 +1058,10 @@ def _crawl_fixture_engine(spark: SparkSession, sf_dir: str):
 
     from .plans.crawl import CrawlEngine
 
-    key = (id(spark), sf_dir)
+    # keyed by applicationId, not id(spark): a garbage-collected session
+    # can hand its id() to a successor, which would return an engine
+    # bound to a stopped SparkContext (round-4 review finding)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _CRAWL_FIXTURE:
         return _CRAWL_FIXTURE[key]
     pages = pages_df(spark, sf_dir)
