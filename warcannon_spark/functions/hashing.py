@@ -31,3 +31,51 @@ def h64_sql(expr: str) -> str:
 def url_hash(col: Column) -> Column:
     """Engine-internal frontier key: xxhash64 of the canonical URL."""
     return F.xxhash64(col)
+
+
+# MinHash permutation family (round-4): ONE md5 per shingle reduced to
+# the Mersenne-31 field, then an INDEPENDENT affine map per seed —
+# perm_i(x) = (a_i·h(x) + b_i) mod (2^31−1) — with the (a_i, b_i)
+# coefficients derived driver-side from md5(seed) and embedded as plan
+# literals. Why this shape:
+#   * the round-3 per-(seed, shingle) md5 made signatures the dominant
+#     MinHash stage (O(num_perm) md5 calls per shingle);
+#   * the cheaper Kirsch-Mitzenmacher linear family (h_a + i·h_b) was
+#     tried and REVERTED: its min-shingle drifts slowly across seeds, so
+#     signature components correlate, LSH band buckets skew, and the
+#     band self-join exploded (full 128-perm pipeline 2× SLOWER);
+#   * independent affine maps over a prime field are 2-independent per
+#     seed and independent across seeds — textbook MinHash — at one md5
+#     plus num_perm multiply-mods per shingle;
+#   * P = 2^31−1 keeps every product a_i·h < 2^62 — DuckDB THROWS on
+#     BIGINT overflow, so this bound is a correctness requirement for
+#     the oracle twin, not a nicety. Python's hashlib.md5 produces the
+#     same digest as Spark's and DuckDB's md5, so driver-side
+#     coefficients are engine-portable by construction.
+PERM_PRIME = 2147483647  # Mersenne prime 2^31 − 1
+
+
+def perm_coeffs(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) per seed: a ∈ [1, P−1], b ∈ [0, P−1],
+    both from md5 of a tagged seed string (identical in any engine or
+    language that has standard MD5)."""
+    import hashlib
+
+    out = []
+    for i in range(num_perm):
+        a = (
+            int(hashlib.md5(f"perm-a|{i}".encode()).hexdigest()[:15], 16)
+            % (PERM_PRIME - 1)
+        ) + 1
+        b = int(hashlib.md5(f"perm-b|{i}".encode()).hexdigest()[:15], 16) % PERM_PRIME
+        out.append((a, b))
+    return out
+
+
+def perm_hash_base(col: Column) -> Column:
+    """h(x): the shared md5-derived field element (one md5 per value)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % PERM_PRIME
+
+
+def perm_hash_base_sql(expr: str) -> str:
+    return f"(CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT) % {PERM_PRIME})"

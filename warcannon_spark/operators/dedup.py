@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import h64
+from ..functions.hashing import PERM_PRIME, h64, perm_coeffs, perm_hash_base
 
 # Default = HONEST production parameters: 128 perms in 32 bands of 4 ⇒
 # candidate recall 1-(1-t^4)^32 ≈ 99% at the 0.6 Jaccard threshold. The
@@ -60,10 +60,17 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = 
 
 
 def _perm_hashes(shingle: Column, num_perm: int = NUM_PERM) -> Column:
-    """Array of num_perm portable hashes of one shingle — all JVM-side."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda s: h64(F.concat(s.cast("string"), F.lit("|"), shingle)),
+    """Array of num_perm portable permutation hashes of one shingle —
+    all JVM-side, ONE md5 per shingle + an independent affine map per
+    seed (functions/hashing.perm_coeffs; see the family-design note
+    there — the round-3 per-seed md5 cost O(num_perm) md5 calls per
+    shingle and dominated the MinHash pipeline)."""
+    h = perm_hash_base(shingle)
+    return F.array(
+        *[
+            (F.lit(a) * h + F.lit(b)) % PERM_PRIME
+            for a, b in perm_coeffs(num_perm)
+        ]
     )
 
 

@@ -1151,16 +1151,23 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    from .functions.hashing import PERM_PRIME, perm_coeffs, perm_hash_base_sql
     from .operators.dedup import ORACLE_BAND_SIZE, ORACLE_NUM_PERM
 
-    h = h64_sql("CAST(seed AS VARCHAR) || '|' || shingle")
+    # the per-seed affine coefficients are deterministic driver-side
+    # constants (hashlib.md5 == Spark md5 == DuckDB md5), embedded as a
+    # VALUES relation so the oracle's hash family is bit-identical
+    seed_rows = ",".join(
+        f"({i},{a},{b})" for i, (a, b) in enumerate(perm_coeffs(ORACLE_NUM_PERM))
+    )
+    h = f"((a * {perm_hash_base_sql('shingle')} + b) % {PERM_PRIME})"
     return f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
   FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)
 ),
-seeds AS (SELECT unnest(range({ORACLE_NUM_PERM})) AS seed),
+seeds(seed, a, b) AS (SELECT * FROM (VALUES {seed_rows})),
 sig AS (SELECT doc_id, seed, min({h}) AS sig FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
 bands AS (
   SELECT doc_id, seed // {ORACLE_BAND_SIZE} AS band,
