@@ -660,3 +660,118 @@ def test_malformed_mp4_degrades_not_fails(spark):
     )
     rows = {r.media_id: r for r in video_metadata(media).collect()}
     assert rows[2].n_frames is None  # degraded, not crashed
+
+
+def _gif_bytes(indices2d, palette, interlaced=False):
+    """Test-side GIF writer with a REAL LZW encoder (dictionary growth +
+    width bumps mirroring the decoder) so the decode path is exercised
+    beyond trivial streams."""
+    import struct as s
+
+    import numpy as np
+
+    h, w = indices2d.shape
+    k = max(2, int(np.ceil(np.log2(len(palette)))))
+    palette = np.vstack([palette, np.zeros((2**k - len(palette), 3), np.uint8)])
+    min_code = k
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+
+    rows = indices2d
+    iflags = 0
+    if interlaced:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        rows = indices2d[order]
+        iflags = 0x40
+    seq = [int(x) for x in rows.reshape(-1)]
+
+    # LZW: emit codes, tracking the DECODER's dict length for width sync
+    dict_ = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    codes = [clear]
+    wbuf = b""
+    for px in seq:
+        wk = wbuf + bytes([px])
+        if wk in dict_:
+            wbuf = wk
+        else:
+            codes.append(dict_[wbuf])
+            dict_[wk] = next_code
+            next_code += 1
+            wbuf = bytes([px])
+    if wbuf:
+        codes.append(dict_[wbuf])
+    codes.append(eoi)
+
+    width = min_code + 1
+    dec_len = eoi + 1
+    first = True
+    bits = bytearray()
+    acc = n = 0
+    for c in codes:
+        acc |= c << n
+        n += width
+        while n >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+        if c == clear:
+            width, dec_len, first = min_code + 1, eoi + 1, True
+        elif c != eoi:
+            if first:
+                first = False
+            else:
+                dec_len += 1
+                if dec_len == 1 << width and width < 12:
+                    width += 1
+    if n:
+        bits.append(acc & 0xFF)
+
+    out = b"GIF89a" + s.pack("<HHBBB", w, h, 0x80 | (k - 1), 0, 0)
+    out += bytes(palette.reshape(-1))
+    out += b"\x21\xfe\x05hello\x00"  # a comment extension to skip
+    out += b"\x2c" + s.pack("<HHHHB", 0, 0, w, h, iflags)
+    out += bytes([min_code])
+    data = bytes(bits)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    return out + b"\x00\x3b"
+
+
+def test_gif_decodes_without_pillow(spark):
+    """Stdlib GIF tier: full variable-width LZW (dictionary growth,
+    width bumps, clear handling), extension skipping, palette mapping
+    and interlace reorder must reproduce exact pixels — plus the
+    distributed kernel end-to-end."""
+    import numpy as np
+
+    from warcannon_spark.operators.multimodal import (
+        _decode_gif,
+        extract_media_features,
+    )
+
+    rng = np.random.default_rng(3)
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    # repeated patterns → real dictionary growth in the LZW stream
+    idx = np.tile(rng.integers(0, 16, size=(3, 10), dtype=np.uint8), (7, 2))[:19, :17]
+
+    gif = _gif_bytes(idx, palette)
+    w, h, px = _decode_gif(gif)
+    assert (w, h) == (17, 19)
+    assert np.array_equal(px, palette[idx])
+
+    gif_i = _gif_bytes(idx, palette, interlaced=True)
+    w, h, px = _decode_gif(gif_i)
+    assert np.array_equal(px, palette[idx])  # deinterlaced back
+
+    media = spark.createDataFrame(
+        [(1, "image", gif, "image/gif")],
+        "media_id long, kind string, blob binary, mime string",
+    )
+    row = extract_media_features(media, deterministic_fake=False).collect()[0]
+    assert (row.width, row.height) == (17, 19)
+    means = palette[idx].reshape(-1, 3).mean(axis=0)
+    assert all(abs(row.feat[i] - means[i]) < 1e-3 for i in range(3))

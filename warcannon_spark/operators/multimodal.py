@@ -161,11 +161,108 @@ def _decode_png(blob: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, np.ascontiguousarray(px)
 
 
+def _decode_gif(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-stdlib decoder for the FIRST frame of a GIF87a/89a: logical
+    screen + palette walk, extension skipping, full variable-width LZW
+    (clear/EOI codes, dictionary growth, code-size bumps, deferred
+    clear), interlace reorder — RGB out."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF blob")
+    sw, sh_, flags = struct.unpack_from("<HHB", blob, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x21:  # extension: label + data sub-blocks
+            pos += 2
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _l, _t, w, h = struct.unpack_from("<HHHH", blob, pos + 1)
+            iflags = blob[pos + 9]
+            pos += 10
+            palette = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 7)
+                palette = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(-1, 3)
+                pos += n * 3
+            if palette is None:
+                raise ValueError("GIF image without a color table")
+            min_code = blob[pos]
+            pos += 1
+            data = bytearray()
+            while blob[pos] != 0:
+                ln = blob[pos]
+                data += blob[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            # -- LZW decode (GIF variant) --
+            clear = 1 << min_code
+            eoi = clear + 1
+            width = min_code + 1
+            dict_: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+            out = bytearray()
+            prev: bytes | None = None
+            acc = nbits = 0
+            for byte in data:
+                acc |= byte << nbits
+                nbits += 8
+                while nbits >= width:
+                    code = acc & ((1 << width) - 1)
+                    acc >>= width
+                    nbits -= width
+                    if code == clear:
+                        dict_ = [bytes([i]) for i in range(clear)] + [b"", b""]
+                        width = min_code + 1
+                        prev = None
+                        continue
+                    if code == eoi:
+                        nbits = 0
+                        break
+                    if code < len(dict_):
+                        entry = dict_[code]
+                    elif code == len(dict_) and prev is not None:
+                        entry = prev + prev[:1]  # the KwKwK case
+                    else:
+                        raise ValueError("corrupt GIF LZW stream")
+                    out += entry
+                    if prev is not None:
+                        dict_.append(prev + entry[:1])
+                        # width bumps when the NEXT code would overflow
+                        if len(dict_) == (1 << width) and width < 12:
+                            width += 1
+                    prev = entry
+            idx = np.frombuffer(bytes(out[: w * h]), np.uint8)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            rows = idx.reshape(h, w)
+            if iflags & 0x40:  # interlaced: 4-pass row order
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                de = np.empty_like(rows)
+                de[order] = rows
+                rows = de
+            return w, h, np.ascontiguousarray(palette[rows % len(palette)])
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image descriptor")
+
+
 def _decode_image(blob: bytes, deterministic_fake: bool) -> tuple[int, int, np.ndarray]:
     """Decode an image blob → (width, height, HxWx3 uint8 array).
 
     Tiers: deterministic fake (plumbing tests; shape and pixels derived
-    from the blob digest) → Pillow if installed → stdlib PNG/BMP
+    from the blob digest) → Pillow if installed → stdlib PNG/GIF/BMP
     decoders → NotImplementedError naming the missing optional
     dependency."""
     if deterministic_fake:
@@ -180,13 +277,15 @@ def _decode_image(blob: bytes, deterministic_fake: bool) -> tuple[int, int, np.n
         return img.width, img.height, px
     if blob[:8] == _PNG_MAGIC:
         return _decode_png(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(blob)
     if blob[:2] == b"BM":
         return _decode_bmp24(blob)
     raise NotImplementedError(
         "image codec library required for this format: install Pillow "
-        "(optional dependency, auto-detected at import) — only 8-bit PNG "
-        "and 24-bit BMP decode without it; or pass deterministic_fake=True "
-        "for the plumbing-test path"
+        "(optional dependency, auto-detected at import) — only 8-bit PNG, "
+        "GIF and 24-bit BMP decode without it; or pass "
+        "deterministic_fake=True for the plumbing-test path"
     )
 
 
