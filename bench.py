@@ -34,6 +34,15 @@ PASSES = int(os.environ.get("BENCH_PASSES", "3"))
 
 MAX_SPREAD = float(os.environ.get("BENCH_MAX_SPREAD", "0.3"))
 MAX_PASSES = int(os.environ.get("BENCH_MAX_PASSES", "9"))
+# Global wall-clock budget: noise RETRIES and the optional 2×-batch leg
+# run only while under it, so a noisy host degrades to a flagged-noisy
+# artifact instead of an unbounded (possibly timed-out) run.
+TIME_BUDGET = float(os.environ.get("BENCH_TIME_BUDGET_SEC", "1500"))
+_T_START = time.time()
+
+
+def _under_budget() -> bool:
+    return time.time() - _T_START < TIME_BUDGET
 
 
 def _cpu_counters() -> list[int]:
@@ -195,7 +204,7 @@ def main() -> None:
         disagreement IS host noise), keep the fastest run."""
         best = crawl_run(cache_corpus)
         for _ in range(retries):
-            if best[5] <= MAX_SPREAD:
+            if best[5] <= MAX_SPREAD or not _under_budget():
                 break
             nxt = crawl_run(cache_corpus)
             if nxt[0] < best[0]:
@@ -261,9 +270,12 @@ def main() -> None:
         finally:
             shutil.rmtree(crawl_wd, ignore_errors=True)
 
-    dt2, urls2 = crawl_big()
-    extras["crawl_urls_per_sec_2x_batch"] = round(urls2 / dt2, 1)
-    extras["crawl_2x_batch_urls"] = urls2
+    if _under_budget():
+        dt2, urls2 = crawl_big()
+        extras["crawl_urls_per_sec_2x_batch"] = round(urls2 / dt2, 1)
+        extras["crawl_2x_batch_urls"] = urls2
+    else:  # noisy run ate the budget — skip the optional leg, say so
+        extras["crawl_urls_per_sec_2x_batch"] = None
 
     # -- per-query headline set (same entries the driver oracle-checks) ---
     for name in [
