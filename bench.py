@@ -73,7 +73,15 @@ def _best_of(fn, n: int = PASSES) -> tuple[float, float]:
         if len(times) >= n:
             window = sorted(times)[:n]
             spread = (window[-1] - window[0]) / window[0]
-            if spread <= MAX_SPREAD or len(times) >= MAX_PASSES:
+            # extra noise-refusal passes run only while the global time
+            # budget holds (ADVICE r4: without the budget check a
+            # persistently noisy host ran every entry to MAX_PASSES long
+            # after the budget was spent)
+            if (
+                spread <= MAX_SPREAD
+                or len(times) >= MAX_PASSES
+                or not _under_budget()
+            ):
                 return window[0], spread
 
 
@@ -278,6 +286,7 @@ def main() -> None:
         extras["crawl_urls_per_sec_2x_batch"] = None
 
     # -- per-query headline set (same entries the driver oracle-checks) ---
+    query_spreads: dict[str, float] = {}
     for name in [
         "match_rollup",
         "index_rollup_hosts",
@@ -301,8 +310,13 @@ def main() -> None:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        dt, _ = _best_of(lambda: fn(spark, SF_DIR).count(), n=2)
+        dt, sp = _best_of(lambda: fn(spark, SF_DIR).count(), n=2)
         timings[name] = round(dt, 3)
+        # per-query spreads (r4 verdict item 4): sub-second deltas like
+        # the r4 dedup_simhash_pairs +34% were unclassifiable without a
+        # recorded spread; _best_of's noise refusal now applies per
+        # entry and the residual spread is stamped
+        query_spreads[name] = round(sp, 3)
 
     # the ADVERTISED MinHash configuration (128 perms / 32 bands) — the
     # oracle-parameterized entry above times only the 16-perm skeleton
@@ -311,8 +325,62 @@ def main() -> None:
     from warcannon_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-    dt, _ = _best_of(lambda: minhash_lsh_pairs(docs).count(), n=2)
+    dt, sp = _best_of(lambda: minhash_lsh_pairs(docs).count(), n=2)
     timings["dedup_minhash_default"] = round(dt, 3)
+    query_spreads["dedup_minhash_default"] = round(sp, 3)
+    extras["query_spreads"] = query_spreads
+    extras["noisy_queries"] = sorted(
+        k for k, v in query_spreads.items() if v > MAX_SPREAD
+    )
+
+    # -- WARC ingest throughput (r4 verdict item 7): the reference's core
+    # data path — gzipped multi-member WARCs → distributed record split →
+    # HTTP payload decode. Fixture: the FULL sf corpus (mod=1) across 32
+    # gz files so every core gets work; cached in /tmp per sf_dir.
+    from warcannon_spark.sources.warc import read_warc_pages, warc_fixture_dir
+
+    warc_dir = warc_fixture_dir(spark, SF_DIR, mod=1, files=32)
+    warc_reader = read_warc_pages(spark, warc_dir)
+    n_warc = warc_reader.count()  # warm (also the page denominator)
+
+    def warc_scan() -> int:
+        return read_warc_pages(spark, warc_dir).count()
+
+    dt, sp = _best_of(warc_scan, n=2)
+    timings["warc_ingest"] = round(dt, 3)
+    query_spreads["warc_ingest"] = round(sp, 3)
+    extras["warc_ingest_pages"] = n_warc
+    extras["warc_ingest_pages_per_sec"] = round(n_warc / dt, 1)
+
+    # -- ANN recall telemetry (r4 verdict item 8): recall@5 of the two
+    # approximate paths vs the brute-force oracle over the SAME query set
+    # (vec_id % 53). Quality numbers ride the artifact next to the
+    # timings so a speedup can't silently trade away recall.
+    from warcannon_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        ivf_trained_topk,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    truth = (
+        cosine_topk(emb, query_mod=53, k=5)
+        .select("qid", "neighbor_id")
+        .persist()
+    )
+    n_truth = truth.count()
+
+    def _recall(approx) -> float:
+        hit = truth.join(
+            approx.select("qid", "neighbor_id"), ["qid", "neighbor_id"], "left_semi"
+        ).count()
+        return round(hit / n_truth, 4)
+
+    extras["ann_ivf_recall_at_5"] = _recall(ivf_topk(emb, query_mod=53, k=5))
+    extras["ann_ivf_trained_recall_at_5"] = _recall(
+        ivf_trained_topk(emb, n_clusters=8, nprobe=2, query_mod=53, k=5)
+    )
+    truth.unpersist()
 
     total = round(sum(timings.values()), 3)
     extras["steal_pct"] = _steal_pct(cpu0, _cpu_counters())

@@ -4,11 +4,17 @@ through Spark AND its oracle_sql() through DuckDB on the same parquet
 tables, compare row count, sorted column names, and an order-insensitive
 multiset of stringified rows.
 
-Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+Usage: python scripts/check_oracles.py [--out artifact.json] [sf_dir] [query ...]
+
+With --out, a driver-shaped JSON artifact (per-query rows/schema/hash
+match booleans) is written so rounds where the driver's 50-entry check
+window rotates queries out still ship a committed green row for EVERY
+oracle-backed entry (r4 verdict item 3).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -51,8 +57,14 @@ def row_multiset(cols: list[str], rows: list[tuple]) -> dict:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from warcannon_spark.session import get_spark
@@ -70,36 +82,62 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    artifact: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
-        t0 = time.time()
-        sdf = fn(spark, sf_dir)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
-        spark_t = time.time() - t0
+        rec = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        artifact[name] = rec
+        try:
+            t0 = time.time()
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            spark_t = time.time() - t0
+        except Exception as e:  # a broken builder must land in the artifact
+            rec["err"] = f"{type(e).__name__}: {e}"[:300]
+            print(f"  {name:28s} ERR {rec['err']}")
+            failures.append((name, rec["err"]))
+            continue
+        rec["spark_rows"] = len(srows)
         if name not in oracles:
+            rec["err"] = "rows-only (no oracle by design)"
             print(f"  {name:28s} rows={len(srows):6d} (rows-only, no oracle) {spark_t:5.1f}s")
             if len(srows) == 0:
                 failures.append((name, "zero rows in rows-only query"))
+            else:
+                rec["rows_match"] = True
             continue
         t0 = time.time()
         res = con.execute(oracles[name])
         ocols = [d[0] for d in res.description]
         orows = res.fetchall()
         duck_t = time.time() - t0
+        rec["oracle_rows"] = len(orows)
         problems = []
-        if sorted(scols) != sorted(ocols):
+        rec["schema_match"] = sorted(scols) == sorted(ocols)
+        if not rec["schema_match"]:
             problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
-        if len(srows) != len(orows):
+        rec["rows_match"] = len(srows) == len(orows)
+        if not rec["rows_match"]:
             problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
         if not problems:
             sm = row_multiset(scols, srows)
             om = row_multiset(ocols, orows)
-            if sm != om:
+            rec["hash_match"] = sm == om
+            if not rec["hash_match"]:
                 diff_s = [k for k in sm if sm[k] != om.get(k)][:3]
                 diff_o = [k for k in om if om[k] != sm.get(k)][:3]
                 problems.append(f"values spark-only={diff_s} duck-only={diff_o}")
+        else:
+            rec["hash_match"] = False
         status = "OK " if not problems else "FAIL"
         print(
             f"  {name:28s} rows={len(srows):6d} {status} spark={spark_t:5.1f}s duck={duck_t:4.1f}s"
@@ -107,6 +145,18 @@ def main() -> int:
         for p in problems:
             print(f"      !! {p}")
             failures.append((name, p))
+    # release long-lived fixture caches before stopping the session
+    # (r4 verdict item 9 — the memoized CrawlEngines and curation caches
+    # otherwise hold persisted frames for the process lifetime)
+    from warcannon_spark.operators.curation import release_caches
+    from warcannon_spark.queries import close_crawl_fixtures
+
+    close_crawl_fixtures()
+    release_caches()
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"wrote {out_path} ({len(artifact)} entries)")
     spark.stop()
     if failures:
         print(f"\n{len(failures)} FAILURES")

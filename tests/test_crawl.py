@@ -456,6 +456,61 @@ def test_crashed_round_releases_round_caches(spark, tmp_path):
     eng.close()
 
 
+def test_crash_after_log_commit_invalidates_split_and_replay_is_clean(
+    spark, tmp_path
+):
+    """ADVICE r4 (medium): if an exception escapes _commit_delta AFTER
+    the flog commit_dir but before the hot/cold cache swap, the
+    in-memory split is stale relative to disk. An in-process retry of
+    run_round would re-dequeue keys already terminal on disk, and the
+    blind cold append would then insert duplicate terminal rows —
+    breaking the unique-per-url_hash invariant at the next compaction.
+    The fix invalidates the split on that path so the next use
+    re-anchors from disk. Pin: inject a one-shot failure in
+    read_last_dir (first post-commit disk touch), retry, run to drain
+    across a compaction, and assert per-url_hash uniqueness plus
+    equivalence with an uninterrupted run."""
+    wd = tmp_path / "wd"
+    eng = make_engine(spark, wd, compact_every=3)
+    eng.seed(seeds(spark))
+    eng.run_round()
+
+    real = eng.t_flog.read_last_dir
+    state = {"armed": True}
+
+    def flaky(*a, **kw):
+        if state["armed"]:
+            state["armed"] = False
+            raise RuntimeError("simulated post-commit failure")
+        return real(*a, **kw)
+
+    eng.t_flog.read_last_dir = flaky
+    with pytest.raises(Exception, match="post-commit"):
+        eng.run_round()
+    # the split must be invalidated, not left stale
+    assert eng._hot is None and eng._cold is None
+    # in-process retry (the path the finally-block comment advertises):
+    # the engine re-anchors from disk; the crashed round's delta is
+    # already committed, so the replayed rounds must not double-insert.
+    eng.run(max_rounds=20)
+    dup = (
+        eng.frontier()
+        .groupBy("url_hash")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0  # unique-per-url_hash invariant survives compaction
+
+    # equivalence with an uninterrupted run over the same inputs
+    ref = make_engine(spark, tmp_path / "ref", compact_every=3)
+    ref.seed(seeds(spark))
+    ref.run(max_rounds=20)
+    assert frontier_dump(eng) == frontier_dump(ref)
+    eng.close()
+    ref.close()
+
+
 def test_engine_close_releases_caches_and_resume_still_works(spark, tmp_path):
     """close() must drop every frame THIS engine persisted without
     touching on-disk campaign state — a fresh engine on the same workdir

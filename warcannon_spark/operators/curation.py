@@ -29,6 +29,26 @@ from ..functions.hashing import h64
 
 DEFAULT_NGRAM = 8  # the common decontamination window (verbatim 8-grams)
 
+# Caches created by operators in this module whose lifetime must extend
+# past the operator call (the returned lazy plan reads them). Registered
+# here so long-lived drivers can sweep them (ADVICE r4: repeated calls
+# otherwise accumulate session-lifetime caches); each cache is also
+# attached to the returned frame as ``.curation_cache`` for callers that
+# want to release it as soon as THEIR consuming action has run.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist every cache this module's operators registered. Safe to
+    call at any time — a swept cache only costs recompute if its plan is
+    re-executed afterwards."""
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
 
 def word_ngrams(
     docs: DataFrame,
@@ -67,6 +87,7 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_ceiling_grams: int = BROADCAST_CEILING_GRAMS,
+    bench_gram_count: int | None = None,
 ) -> DataFrame:
     """Train/test overlap removal: per training doc, the number of
     DISTINCT n-grams it shares with the benchmark corpus and a 0/1
@@ -87,19 +108,32 @@ def decontaminate(
       exchange of the training grams, no driver ceiling; on gram-
       bucketed benchmark storage the bench side stays exchange-free.
 
-    The sizing action (one count over the deduped eval grams) is paid on
-    the TINY side only. Returns every training doc (n_overlap = 0 for
-    clean ones) so the output is a drop-in filter/audit table.
+    Regime sizing (r4 verdict item 6 + ADVICE cache finding): callers
+    that know their suite pass ``bench_gram_count`` and pay ZERO sizing
+    work (mirroring ``fetch_join(batch_rows=...)``). Otherwise the
+    switch is decided from the gram-POSITION count — a plain map-side
+    aggregate over the eval corpus (no explode, no distinct shuffle, no
+    persisted frame; the r4 exact-count path doubled the operator's
+    bench time and leaked a session-lifetime cache). Positions upper-
+    bound distinct grams, so the bound is CONSERVATIVE: near the ceiling
+    it can pick SHUFFLE_HASH where broadcast was still legal — the safe
+    direction (a too-big broadcast OOMs; an unnecessary shuffle is just
+    one exchange).
+
+    Returns every training doc (n_overlap = 0 for clean ones) so the
+    output is a drop-in filter/audit table.
     """
-    # persisted: the sizing count below and the probe join both consume
-    # the deduped gram set — without the cache the eval-corpus explode +
-    # distinct shuffle would run twice. The cache is eval-suite-sized
-    # (small by definition) and lives until the session ends or the
-    # caller clears it.
-    bench_grams = (
-        word_ngrams(bench, n, id_col, text_col).select("gram").distinct().persist()
-    )
-    if bench_grams.count() > broadcast_ceiling_grams:
+    if bench_gram_count is None:
+        w = F.split(F.col(text_col), " ")
+        bench_gram_count = int(
+            bench.agg(
+                F.sum(F.greatest(F.size(w) - (n - 1), F.lit(0))).alias("g")
+            ).collect()[0][0]
+            or 0
+        )
+    # consumed exactly once (the probe join) — no cache needed
+    bench_grams = word_ngrams(bench, n, id_col, text_col).select("gram").distinct()
+    if bench_gram_count > broadcast_ceiling_grams:
         probe_side = bench_grams.hint("SHUFFLE_HASH")
     else:
         probe_side = F.broadcast(bench_grams)
@@ -172,12 +206,15 @@ def pack_sequences(
     # persisted: the eager bucket-totals job and the returned windowed
     # plan both consume the tokenized projection — without the cache the
     # token counting (the dominant per-row cost) would scan the corpus
-    # twice. The cache holds (id, count, bucket) only, not text.
+    # twice. The cache holds (id, count, bucket) only, not text. It must
+    # outlive this call (the RETURNED plan reads it), so it is registered
+    # in _LIVE_CACHES / attached as .curation_cache for release.
     base = docs.select(
         F.col(id_col),
         tokens_col.cast("long").alias("__n_tokens"),
         F.floor(F.col(id_col) / bucket_width).alias("__bucket"),
     ).persist()
+    _LIVE_CACHES.append(base)
     from pyspark.sql import Window
 
     w = (
@@ -200,13 +237,12 @@ def pack_sequences(
         acc += t
     spark = docs.sparkSession
     off = spark.createDataFrame(offsets, "__bucket long, __offset long")
-    return (
-        local.join(F.broadcast(off), "__bucket")
-        .select(
-            id_col,
-            F.col("__n_tokens").alias("n_tokens"),
-            F.floor((F.col("__offset") + F.col("__local_excl")) / budget)
-            .cast("long")
-            .alias("pack_id"),
-        )
+    out = local.join(F.broadcast(off), "__bucket").select(
+        id_col,
+        F.col("__n_tokens").alias("n_tokens"),
+        F.floor((F.col("__offset") + F.col("__local_excl")) / budget)
+        .cast("long")
+        .alias("pack_id"),
     )
+    out.curation_cache = base  # caller may unpersist after consuming
+    return out

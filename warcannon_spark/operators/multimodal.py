@@ -208,7 +208,13 @@ def _decode_gif(blob: bytes) -> tuple[int, int, np.ndarray]:
             out = bytearray()
             prev: bytes | None = None
             acc = nbits = 0
+            done = False  # EOI must stop BOTH loops: a spec-valid GIF may
+            # carry sub-block bytes after the EOI code, and continuing the
+            # outer byte loop would OR them into a stale accumulator and
+            # decode garbage codes (ADVICE r4).
             for byte in data:
+                if done:
+                    break
                 acc |= byte << nbits
                 nbits += 8
                 while nbits >= width:
@@ -221,7 +227,7 @@ def _decode_gif(blob: bytes) -> tuple[int, int, np.ndarray]:
                         prev = None
                         continue
                     if code == eoi:
-                        nbits = 0
+                        done = True
                         break
                     if code < len(dict_):
                         entry = dict_[code]
@@ -481,8 +487,13 @@ def parse_mp4_metadata(blob: bytes) -> dict | None:
             elif typ == b"mvhd" and p1 - p0 >= 20:
                 version = blob[p0]
                 # v1 layout needs 32 payload bytes (u64 duration ends at
-                # p0+32) — a 28-31-byte box would read past the box end
-                if version == 1 and p1 - p0 >= 32:
+                # p0+32); a SHORT v1 box (20-31 bytes) is malformed —
+                # skip it rather than mis-parse with the v0 layout, which
+                # would read u64 time bytes at p0+12 as timescale/
+                # duration and feed garbage into fps math (ADVICE r4)
+                if version == 1:
+                    if p1 - p0 < 32:
+                        continue
                     ts = struct.unpack_from(">I", blob, p0 + 20)[0]
                     dur = struct.unpack_from(">Q", blob, p0 + 24)[0]
                 else:
@@ -491,7 +502,9 @@ def parse_mp4_metadata(blob: bytes) -> dict | None:
                     meta["duration_s"] = dur / ts
             elif typ == b"mdhd" and track is not None and p1 - p0 >= 20:
                 version = blob[p0]
-                if version == 1 and p1 - p0 >= 32:
+                if version == 1:
+                    if p1 - p0 < 32:  # malformed short v1 box — skip
+                        continue
                     ts = struct.unpack_from(">I", blob, p0 + 20)[0]
                     dur = struct.unpack_from(">Q", blob, p0 + 24)[0]
                 else:

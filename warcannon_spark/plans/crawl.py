@@ -345,34 +345,66 @@ class CrawlEngine:
         self.t_flog.commit_dir(data_dir, mode="append", meta={"round": rnd})
         self.last_commit_timings["flog_write"] = round(time.time() - t0, 3)
         t0 = time.time()
-        # ALWAYS advance the chain before a possible compaction — compact
-        # folds self.frontier(), which must already include this delta.
-        committed = self.t_flog.read_last_dir(self.spark)
-        active = F.col("status").isin(*self._ACTIVE)
-        # (string-key joins move the key column first — restore schema order)
-        hot = (
-            prev_hot.join(committed.select("url_hash"), "url_hash", "left_anti")
-            .unionByName(committed.filter(active))
-            .select(*prev_hot.columns)
-            # union appends the delta's partitions to prev's — coalesce
-            # keeps the cached active set at a stable partition count
-            # instead of growing by ~|delta partitions| every round.
-            .coalesce(self.P)
-        ).persist()
-        hot.count()  # materialize BEFORE dropping prev's blocks
-        old = self._hot
-        self._hot = hot
-        # terminal keys only ever ENTER cold (they were hot before this
-        # round and can never be touched again), so append-without-dedup
-        # preserves the unique-per-url_hash invariant.
-        self._cold = prev_cold.unionByName(committed.filter(~active))
-        if old is not None:
-            old.unpersist()
-        self.last_commit_timings["resolve"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        if self.t_flog.num_dirs() >= self.compact_every:
-            self._compact(rnd)
-            self.last_commit_timings["compact"] = round(time.time() - t0, 3)
+        # From here on the delta is durably committed; if anything below
+        # fails the in-memory split is stale relative to disk. An
+        # in-process retry of run_round would then re-dequeue keys that
+        # are already terminal on disk, and the blind cold append would
+        # insert duplicate terminal rows — permanently breaking the
+        # unique-per-url_hash invariant once _compact folds them in. So:
+        # any escape below INVALIDATES the split; the next use re-anchors
+        # from disk via _ensure_split's one-time compaction path.
+        hot = None
+        try:
+            # ALWAYS advance the chain before a possible compaction — compact
+            # folds self.frontier(), which must already include this delta.
+            committed = self.t_flog.read_last_dir(self.spark)
+            active = F.col("status").isin(*self._ACTIVE)
+            # (string-key joins move the key column first — restore schema order)
+            hot = (
+                prev_hot.join(
+                    committed.select("url_hash"), "url_hash", "left_anti"
+                )
+                .unionByName(committed.filter(active))
+                .select(*prev_hot.columns)
+                # union appends the delta's partitions to prev's — coalesce
+                # keeps the cached active set at a stable partition count
+                # instead of growing by ~|delta partitions| every round.
+                .coalesce(self.P)
+            ).persist()
+            hot.count()  # materialize BEFORE dropping prev's blocks
+            old = self._hot
+            self._hot = hot
+            # terminal keys only ever ENTER cold (they were hot before this
+            # round and can never be touched again), so append-without-dedup
+            # preserves the unique-per-url_hash invariant.
+            self._cold = prev_cold.unionByName(committed.filter(~active))
+            if old is not None:
+                old.unpersist()
+            self.last_commit_timings["resolve"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            if self.t_flog.num_dirs() >= self.compact_every:
+                self._compact(rnd)
+                self.last_commit_timings["compact"] = round(time.time() - t0, 3)
+        except BaseException:
+            # prev_hot is self._hot pre-swap; post-swap self._hot is the
+            # new `hot` — unpersisting the set {hot, self._hot, prev_hot}
+            # releases whichever of old/new frames is still cached without
+            # double-free concerns (unpersist is idempotent).
+            for frame in {id(f): f for f in (hot, self._hot, prev_hot)
+                          if f is not None}.values():
+                try:
+                    frame.unpersist()
+                except Exception:
+                    pass
+            self._hot = None
+            self._cold = None
+            # the delta IS committed but _absorb_bloom_delta will never
+            # run for it (run_round absorbs after _commit_delta returns).
+            # A maintained Bloom MISSING committed keys is unsafe — the
+            # definite-new fast path would re-admit them — so drop it;
+            # the next probe rebuilds from the re-anchored frontier.
+            self._drop_bloom()
+            raise
 
     def _compact(self, rnd: int) -> None:
         """Fold the log into the base and reset the log. Idempotent under

@@ -17,6 +17,7 @@ pure-string expressions on both sides (sources/pages.py).
 
 from __future__ import annotations
 
+import atexit
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1047,6 +1048,24 @@ def _crawl_metrics_oracle() -> str:
 _CRAWL_FIXTURE: dict[tuple[int, str], object] = {}
 
 
+def close_crawl_fixtures() -> None:
+    """Release every memoized fixture engine (r4 verdict item 9): a long
+    driver session running many sf_dirs otherwise accumulates persisted
+    hot-frontier/Bloom caches with no close path. Safe mid-session — a
+    closed engine's lazy frames still resolve from disk, and the next
+    fixture request builds a fresh engine. Registered atexit; harness
+    scripts (check_oracles) also sweep explicitly."""
+    while _CRAWL_FIXTURE:
+        _, eng = _CRAWL_FIXTURE.popitem()
+        try:
+            eng.close()
+        except Exception:
+            pass
+
+
+atexit.register(close_crawl_fixtures)
+
+
 def _crawl_fixture_engine(spark: SparkSession, sf_dir: str):
     """Drive the full CrawlEngine for 3 rounds over a linked corpus
     derived from documents (FIXTURES.md §6) — memoized per session +
@@ -1613,7 +1632,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     train = docs.filter(F.col("doc_id") % 50 != 0)
-    return decontaminate(train, bench, n=3)
+    # the caller KNOWS this suite is tiny (2% of documents) — the hint
+    # skips the sizing job entirely (r4 verdict item 6); any value under
+    # the ceiling selects the broadcast regime
+    return decontaminate(train, bench, n=3, bench_gram_count=100_000)
 
 
 @_q(
