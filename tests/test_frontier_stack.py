@@ -179,6 +179,145 @@ Disallow:
     assert got[("broken.example", "/x")] is True
 
 
+def test_robots_rfc9309_wildcard_match_table():
+    """RFC 9309 metacharacter matching, google/robotstxt-testcase style
+    (r5 VERDICT item 2): `*` spans any octets including `/`, a trailing
+    `$` anchors to end-of-path, `$` elsewhere is literal, and matching
+    is case-sensitive. Table transcribed from the RFC §2.2.3 match
+    examples and the Google robots.txt documentation's pattern tables —
+    semantics only, no reference code."""
+    from warcannon_spark.plans.robots import rule_matches
+
+    table = [
+        # (pattern, path, should_match)
+        ("/fish", "/fish", True),
+        ("/fish", "/fish.html", True),
+        ("/fish", "/fish/salmon.html", True),
+        ("/fish", "/fishheads", True),
+        ("/fish", "/fishheads/yummy.html", True),
+        ("/fish", "/fish.php?id=anything", True),
+        ("/fish", "/Fish.asp", False),  # case-sensitive
+        ("/fish", "/catfish", False),  # match is from path start
+        ("/fish", "/?id=fish", False),
+        ("/fish*", "/fish", True),  # trailing * is redundant
+        ("/fish*", "/fishheads/yummy.html", True),
+        ("/fish*", "/catfish", False),
+        ("/fish/", "/fish/", True),
+        ("/fish/", "/fish/?id=anything", True),
+        ("/fish/", "/fish/salmon.htm", True),
+        ("/fish/", "/fish", False),
+        ("/fish/", "/fish.html", False),
+        ("/*.php", "/index.php", True),
+        ("/*.php", "/folder/filename.php", True),
+        ("/*.php", "/folder/filename.php?parameters", True),
+        ("/*.php", "/folder/any.php.file.html", True),
+        ("/*.php", "/filename.php/", True),
+        ("/*.php", "/", False),
+        ("/*.php", "/windows.PHP", False),
+        ("/*.php$", "/filename.php", True),
+        ("/*.php$", "/folder/filename.php", True),
+        ("/*.php$", "/filename.php?parameters", False),
+        ("/*.php$", "/filename.php/", False),
+        ("/*.php$", "/filename.php5", False),
+        ("/fish*.php", "/fish.php", True),
+        ("/fish*.php", "/fishheads/catfish.php?parameters", True),
+        ("/fish*.php", "/Fish.PHP", False),
+        ("/x$y", "/x$y", True),  # non-trailing $ is a literal octet
+        ("/x$y", "/xy", False),
+        ("/a*b*c", "/a1b2c3", True),  # multiple wildcards
+        ("/a*b*c", "/ac", False),
+        ("/**", "/anything", True),  # consecutive stars collapse
+        ("/$", "/", True),
+        ("/$", "/page", False),
+    ]
+    for pattern, path, want in table:
+        got = rule_matches(path, pattern)
+        assert got == want, f"rule_matches({path!r}, {pattern!r}) = {got}, want {want}"
+
+
+def test_robots_rfc9309_precedence_table():
+    """Most-octets-wins / Allow-on-tie over METACHARACTER rules — the
+    Google documentation's 'order of precedence for rules' examples."""
+    from warcannon_spark.plans.robots import rule_matches
+
+    def decide(rules: list[tuple[str, bool]], path: str) -> bool:
+        best = None
+        for pattern, is_allow in rules:
+            if rule_matches(path, pattern):
+                key = (len(pattern), is_allow)
+                if best is None or key > best:
+                    best = key
+        return True if best is None else best[1]
+
+    # (rules, path, allowed)
+    cases = [
+        ([("/p", True), ("/", False)], "/page", True),  # most octets
+        ([("/folder", True), ("/folder", False)], "/folder/page", True),  # tie→allow
+        ([("/page", True), ("/*.htm", False)], "/page.htm", False),  # 6 > 5 octets
+        ([("/page", True), ("/*.ph", False)], "/page.php5", True),  # 5 = 5 tie→allow
+        ([("/$", True), ("/", False)], "/", True),
+        ([("/$", True), ("/", False)], "/page.htm", False),
+        ([("/*.pdf$", False)], "/download/report.pdf", False),
+        ([("/*.pdf$", False)], "/download/report.pdf?v=2", True),
+        ([("/*?", False)], "/search?q=x", False),  # the classic query block
+        ([("/*?", False)], "/search", True),
+    ]
+    for rules, path, want in cases:
+        got = decide(rules, path)
+        assert got == want, f"decide({rules}, {path!r}) = {got}, want {want}"
+
+
+def test_robots_gate_wildcard_rules_distributed(spark):
+    """The DISTRIBUTED gate must apply RFC 9309 metacharacter rules
+    identically to the Python twin: regex rules ride a parse-time
+    compiled column, plain prefixes stay on native startswith, and the
+    most-octets/allow-tie aggregate resolves across BOTH kinds."""
+    from warcannon_spark.plans.robots import (
+        robots_allowed,
+        robots_gate,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "w.example",
+                "User-agent: *\nDisallow: /*.pdf$\nDisallow: /*?\n"
+                "Allow: /search?safe=1\nDisallow: /private*",
+            ),
+            ("x.example", "User-agent: *\nDisallow: /$\nAllow: /"),
+        ],
+        "host string, robots_txt string",
+    )
+    cand = spark.createDataFrame(
+        [
+            (1, "w.example", "/report.pdf"),
+            (2, "w.example", "/report.pdf?v=2"),  # $ rules out the .pdf rule;
+            # but /*? (3 octets) disallows any query string
+            (3, "w.example", "/search?q=x"),
+            (4, "w.example", "/search?safe=1"),  # allow (14) beats /*? (3)
+            (5, "w.example", "/private/area"),
+            (6, "w.example", "/public/page"),
+            (7, "x.example", "/"),  # /$ (2 octets, disallow) beats / (1)
+            (8, "x.example", "/home"),  # only / matches → allow
+        ],
+        "url_hash long, host string, path string",
+    )
+    got = {
+        r.url_hash: r["__allowed"]
+        for r in robots_gate(cand, robots_rules(robots)).collect()
+    }
+    want = {1: False, 2: False, 3: False, 4: True, 5: False, 6: True,
+            7: False, 8: True}
+    assert got == want
+    # the pandas fixture twin agrees decision-for-decision
+    twin = {
+        r.url_hash: r.ok
+        for r in cand.withColumn("ok", robots_allowed(cand, robots)).collect()
+    }
+    assert twin == want
+
+
 def test_politeness_dequeue_budget_and_order(spark):
     from warcannon_spark.plans import frontier as FR
 

@@ -1,10 +1,15 @@
 """robots.txt gating (SURVEY §2.5 J4, north_rule "robots gating").
 
-Parsing follows the de-facto standard for the ``User-agent: *`` group:
-consecutive User-agent lines open a group, the group's Allow/Disallow
-prefix rules apply, empty Disallow means allow-all, comments stripped.
-Decision per (host, path): the LONGEST matching prefix rule wins; on a
-length tie Allow wins; hosts with no rules (or no robots.txt) allow all.
+Parsing follows RFC 9309 for the ``User-agent: *`` group: consecutive
+User-agent lines open a group, the group's Allow/Disallow rules apply,
+empty Disallow means allow-all, comments stripped. Rule paths support
+the RFC's two metacharacters (r5, VERDICT item 2): ``*`` matches any
+character sequence (including ``/``) and a TRAILING ``$`` anchors the
+rule to the end of the path; a ``$`` anywhere else is a literal octet
+(the reference-implementation behavior — google/robotstxt
+RobotsMatcher::Matches). Decision per (host, path): the most specific
+matching rule wins — most octets in the RULE PATTERN (RFC 9309 §2.2.2),
+Allow wins ties; hosts with no rules (or no robots.txt) allow all.
 
 Execution shape (the 100 TB design, round-2): robots.txt bodies are
 parsed EXECUTOR-SIDE into a flat (host, prefix, is_allow, rule_len) rule
@@ -65,13 +70,46 @@ def _iter_group_directives(txt: str, agent: str):
 
 
 def parse_robots_txt(txt: str, agent: str = "*") -> list[tuple[str, bool]]:
-    """robots.txt text → [(prefix, is_allow), ...] for the given agent
-    group (default the wildcard group)."""
+    """robots.txt text → [(pattern, is_allow), ...] for the given agent
+    group (default the wildcard group). Patterns are the RAW rule paths
+    (may contain ``*`` / trailing ``$``); use ``rule_matches`` /
+    ``rule_pattern_regex`` to evaluate them."""
     return [
         (val, key == "allow")
         for key, val in _iter_group_directives(txt, agent)
         if key in ("allow", "disallow") and val
     ]
+
+
+def rule_pattern_regex(pattern: str) -> str | None:
+    """RFC 9309 rule path → anchored regex, or None for a PLAIN prefix
+    (no metacharacters — the gate keeps those on the native ``startswith``
+    fast path). ``*`` → ``.*``; a trailing ``$`` anchors; any other ``$``
+    is a literal. The regex is built from ``re.escape``d literal runs, so
+    it is valid for Python ``re``, Java regex and RE2 alike — the same
+    string drives the executor-side JVM gate, the Python twin and the
+    DuckDB oracle."""
+    import re as _re
+
+    if "*" not in pattern and not pattern.endswith("$"):
+        return None
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "^" + ".*".join(_re.escape(p) for p in body.split("*"))
+    return rx + "$" if anchored else rx
+
+
+def rule_matches(path: str, pattern: str) -> bool:
+    """Does ``pattern`` match ``path`` from the start (RFC 9309
+    semantics)? The Python twin of the distributed gate's match
+    predicate — shared by ``robots_allowed`` and the unit table so the
+    two matchers cannot diverge."""
+    import re as _re
+
+    rx = rule_pattern_regex(pattern)
+    if rx is None:
+        return path.startswith(pattern)
+    return _re.search(rx, path) is not None
 
 
 def parse_crawl_delay(txt: str, agent: str = "*") -> float | None:
@@ -94,7 +132,11 @@ def parse_crawl_delay(txt: str, agent: str = "*") -> float | None:
 
 
 _RULE_ELEM = StructType(
-    [StructField("prefix", StringType()), StructField("is_allow", BooleanType())]
+    [
+        StructField("prefix", StringType()),
+        StructField("is_allow", BooleanType()),
+        StructField("regex", StringType()),  # null = plain-prefix fast path
+    ]
 )
 
 
@@ -103,7 +145,7 @@ def _parse_rules_udf(txts: pd.Series) -> pd.Series:
     return pd.Series(
         [
             [
-                {"prefix": p, "is_allow": a}
+                {"prefix": p, "is_allow": a, "regex": rule_pattern_regex(p)}
                 for p, a in parse_robots_txt(t if isinstance(t, str) else "")
             ]
             for t in txts
@@ -114,9 +156,14 @@ def _parse_rules_udf(txts: pd.Series) -> pd.Series:
 
 def robots_rules(robots: DataFrame) -> DataFrame:
     """robots(host, robots_txt) → flat rule rows
-    (host, prefix, is_allow, rule_len), parsed executor-side (Arrow
-    batches; never collected to the driver). Hosts whose robots.txt
-    yields no wildcard-group rules produce no rows (= allow-all)."""
+    (host, prefix, is_allow, rule_len, regex), parsed executor-side
+    (Arrow batches; never collected to the driver). ``regex`` is the
+    COMPILED-AT-PARSE-TIME anchored pattern for rules carrying RFC 9309
+    metacharacters, null for plain prefixes (the gate keeps those on
+    native ``startswith``). ``rule_len`` is the raw pattern's octet
+    count — the RFC's specificity measure for BOTH rule kinds. Hosts
+    whose robots.txt yields no wildcard-group rules produce no rows
+    (= allow-all)."""
     return (
         robots.select(
             "host", F.explode(_parse_rules_udf(F.col("robots_txt"))).alias("r")
@@ -126,6 +173,7 @@ def robots_rules(robots: DataFrame) -> DataFrame:
             F.col("r.prefix").alias("prefix"),
             F.col("r.is_allow").alias("is_allow"),
             F.length("r.prefix").alias("rule_len"),
+            F.col("r.regex").alias("regex"),
         )
     )
 
@@ -193,17 +241,28 @@ def robots_gate(
     DataFrame plan (J4 at scale).
 
     Shape: df ⋈ rules on host (inner; rows with no host rules skip the
-    aggregate entirely and default to allowed) → keep prefixes that match
+    aggregate entirely and default to allowed) → keep rules that match
     the path → ``max(struct(rule_len, is_allow))`` per ``key_col`` —
-    struct ordering gives longest-prefix-wins and Allow-wins-on-ties —
+    struct ordering gives most-octets-wins and Allow-wins-on-ties —
     → left join the verdict back. The verdict frame is bounded by the
     batch, so both joins are batch-sized; the rules side is the only
     potentially-large input and it is equi-joined on host (AQE decides
-    broadcast vs shuffle)."""
+    broadcast vs shuffle).
+
+    Match predicate, all JVM-side: plain-prefix rules (regex null — the
+    overwhelming majority in real robots.txt) use native ``startswith``;
+    RFC 9309 metacharacter rules use ``regexp_like`` against the
+    parse-time-compiled anchored pattern. The pattern is a COLUMN, so
+    Spark compiles it per evaluated (path, rule) pair — bounded by
+    batch × matching-host rules, and only for the wildcard minority."""
+    matches = F.when(
+        F.col("regex").isNull(),
+        F.col(path_col).startswith(F.col("prefix")),
+    ).otherwise(F.regexp_like(F.col(path_col), F.col("regex")))
     verdict = (
         df.select(key_col, host_col, path_col)
         .join(rules, on=host_col, how="inner")
-        .filter(F.col(path_col).startswith(F.col("prefix")))
+        .filter(matches)
         .groupBy(key_col)
         .agg(F.max(F.struct("rule_len", "is_allow")).alias("__m"))
         .select(key_col, F.col("__m.is_allow").alias("__rule_verdict"))
@@ -217,7 +276,7 @@ def robots_gate(
 
 def rules_by_host(robots: DataFrame) -> dict[str, list[tuple[str, bool]]]:
     """robots(host, robots_txt) → {host: rules sorted for last-wins apply}
-    (ascending prefix length, Disallow before Allow on ties)."""
+    (ascending pattern octet length, Disallow before Allow on ties)."""
     out: dict[str, list[tuple[str, bool]]] = {}
     for row in robots.collect():
         rules = parse_robots_txt(row.robots_txt)
@@ -250,10 +309,16 @@ def robots_allowed(
                 continue
             verdict = np.ones(len(grp), dtype=bool)
             p = grp["p"]
-            # rules pre-sorted ascending by (length, allow): the last
-            # matching assignment implements longest-wins / allow-on-tie.
-            for prefix, is_allow in rules:
-                hit = p.str.startswith(prefix).to_numpy()
+            # rules pre-sorted ascending by (pattern octets, allow): the
+            # last matching assignment implements most-octets-wins /
+            # allow-on-tie. Shares rule_matches with the distributed
+            # gate's predicate (RFC 9309 * and $).
+            for pattern, is_allow in rules:
+                rx = rule_pattern_regex(pattern)
+                if rx is None:
+                    hit = p.str.startswith(pattern).to_numpy()
+                else:
+                    hit = p.str.contains(rx, regex=True).to_numpy()
                 verdict[hit] = is_allow
             allowed[grp["i"].to_numpy()] = verdict
         return pd.Series(allowed)

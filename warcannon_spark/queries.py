@@ -386,23 +386,53 @@ annotated AS (
   FROM pages
 )
 SELECT url, host FROM annotated
-WHERE NOT ((hid % 4 = 1 AND starts_with(path, '/p/'))
-        OR (hid % 4 = 2 AND starts_with(path, '/p/1')))""",
+WHERE NOT (
+     (hid % 4 = 1 AND regexp_matches(path, '^/p/.*'))
+  OR (hid % 4 = 2 AND regexp_matches(path, '^/p/1')
+                  AND NOT regexp_matches(path, '^/p/12'))
+  OR (hid % 4 = 3 AND regexp_matches(path, '^/p/.*0$'))
+)""",
 )
 def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4: robots prefix gating (simplified single-rule form; the full
-    robots.txt longest-prefix matcher lives in plans/robots.py)."""
+    """J4 + RFC 9309 metacharacters (r5): the REAL distributed gate —
+    robots.txt bodies → executor-side parse (robots_rules, wildcard
+    patterns compiled to anchored regexes at parse time) → the
+    most-octets/allow-tie aggregate (robots_gate). Fixture rules per
+    host class: ``Disallow: /p/*`` (wildcard-all), ``Disallow: /p/1*``
+    overridden by ``Allow: /p/12*`` (most-octets precedence across
+    wildcard rules), and ``Disallow: /p/*0$`` (end-anchored). The DuckDB
+    twin derives the same decisions with regexp_matches."""
+    from .plans.robots import robots_gate, robots_rules
+
     pages = pages_df(spark, sf_dir).select(
         "url",
         "host",
         F.regexp_extract("host", r"h(\d+)", 1).cast("int").alias("hid"),
         F.concat(F.lit("/p/"), F.col("fetch_seq").cast("string")).alias("path"),
     )
-    blocked = (
-        ((F.col("hid") % 4 == 1) & F.col("path").startswith("/p/"))
-        | ((F.col("hid") % 4 == 2) & F.col("path").startswith("/p/1"))
+    robots = (
+        pages.select("host", "hid")
+        .distinct()
+        .withColumn(
+            "robots_txt",
+            F.when(
+                F.col("hid") % 4 == 1,
+                F.lit("User-agent: *\nDisallow: /p/*"),
+            )
+            .when(
+                F.col("hid") % 4 == 2,
+                F.lit("User-agent: *\nDisallow: /p/1*\nAllow: /p/12*"),
+            )
+            .when(
+                F.col("hid") % 4 == 3,
+                F.lit("User-agent: *\nDisallow: /p/*0$"),
+            )
+            .otherwise(F.lit("")),
+        )
+        .select("host", "robots_txt")
     )
-    return pages.filter(~blocked).select("url", "host")
+    gated = robots_gate(pages, robots_rules(robots), key_col="url")
+    return gated.filter(F.col("__allowed")).select("url", "host")
 
 
 @_q(
