@@ -51,13 +51,18 @@ def main() -> None:
         warm = eng.run_round()
         print("warm:", json.dumps(warm), json.dumps(eng.last_timings))
         t0 = time.time()
+        total_urls = 0
         for i in range(ROUNDS):
+            if eng.drained():
+                print(f"drained after {i} timed rounds")
+                break
             stats = eng.run_round()
+            total_urls += stats["dequeued"]
             print(f"round {i}:", json.dumps(stats))
             print(f"  stages: {json.dumps(eng.last_timings)}")
+            print(f"  commit: {json.dumps(eng.last_commit_timings)}")
         dt = time.time() - t0
-        print(f"urls/s over {ROUNDS} timed rounds:",
-              round(ROUNDS * stats["dequeued"] / dt, 1))
+        print(f"urls/s over the timed rounds: {round(total_urls / dt, 1)}")
     finally:
         shutil.rmtree(wd, ignore_errors=True)
     spark.stop()

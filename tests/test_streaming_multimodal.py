@@ -567,6 +567,28 @@ def test_multimodal_png_decodes_without_pillow(spark):
     assert all(abs(row.feat[i] - means[i]) < 1e-3 for i in range(3))
 
 
+def test_png_megapixel_paeth_decode_is_fast_and_exact():
+    """r4 verdict item 5: Average/Paeth unfiltering was per-byte numpy
+    indexing — seconds per megapixel. The list-arithmetic rewrite must
+    decode a megapixel Paeth/Average-heavy RGB PNG exactly, in
+    ~a second (generous 3s ceiling for the shared sandbox host)."""
+    import time
+
+    import numpy as np
+
+    from warcannon_spark.operators.multimodal import _decode_png
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(650, 520, 3), dtype=np.uint8)  # ~1MP
+    png = _png_encode(img, ctype=2, filters=[4, 3, 4, 4, 3])  # Paeth-heavy
+    t0 = time.time()
+    w, h, px = _decode_png(png)
+    dt = time.time() - t0
+    assert (w, h) == (520, 650)
+    assert np.array_equal(px, img)
+    assert dt < 3.0, f"megapixel Paeth decode took {dt:.2f}s"
+
+
 def _mp4_bytes(n_frames=100, timescale=1000, duration=4000, handler=b"vide"):
     from warcannon_spark.operators.multimodal import synth_mp4
 

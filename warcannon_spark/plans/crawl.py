@@ -207,6 +207,15 @@ class CrawlEngine:
         # semantics unchanged.
         self._hot: DataFrame | None = None
         self._cold: DataFrame | None = None
+        # superseded hot caches awaiting release: the per-round advance
+        # no longer pays a dedicated count() job to materialize the new
+        # hot frame (r4 profile: one full scheduling round-trip per
+        # round) — materialization rides the NEXT action that scans the
+        # active set (the next dequeue, or compaction). Until then the
+        # PREVIOUS round's blocks must stay alive (the new frame's
+        # lineage anti-joins against them), so they park here and
+        # _release_pending() drops them right after that action runs.
+        self._pending_release: list[DataFrame] = []
         # incrementally-maintained partitioned Bloom over every url_hash
         # that has EVER entered the frontier: built once from the resolved
         # frontier, then the per-round discovery delta is OR'd in
@@ -251,16 +260,29 @@ class CrawlEngine:
 
     _ACTIVE = (FR.STATUS_PENDING, FR.STATUS_LEASED)
 
+    def _release_pending(self) -> None:
+        """Drop superseded hot caches once an action has materialized the
+        current one (see _pending_release)."""
+        while self._pending_release:
+            df = self._pending_release.pop()
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
     def _install_split(self, resolved: DataFrame) -> None:
         """Install hot/cold views over an already-RESOLVED frontier frame
         (base read after seed/compaction). Hot is persisted (materialized
         lazily on first use); cold stays a lazy filter over the same
-        storage."""
+        storage. The old hot (and any parked predecessors) release
+        immediately — the new frame's lineage anchors on the
+        freshly-written base parquet, not on the old cache."""
         old = self._hot
         self._hot = resolved.filter(F.col("status").isin(*self._ACTIVE)).persist()
         self._cold = resolved.filter(~F.col("status").isin(*self._ACTIVE))
         if old is not None:
             old.unpersist()
+        self._release_pending()
 
     def _ensure_split(self) -> tuple[DataFrame, DataFrame]:
         """(hot, cold) for a live engine; a fresh/resumed engine with a
@@ -371,7 +393,14 @@ class CrawlEngine:
                 # instead of growing by ~|delta partitions| every round.
                 .coalesce(self.P)
             ).persist()
-            hot.count()  # materialize BEFORE dropping prev's blocks
+            # NO eager count: materialization rides the next action that
+            # scans the active set (next round's dequeue batch.count(),
+            # or the compaction below) — the dedicated job here cost one
+            # scheduling round-trip per round (r4 profile; the r5 lever
+            # for the 2x crawl bar). prev's blocks must survive until
+            # then (the new frame anti-joins against them), so prev
+            # PARKS instead of unpersisting; _release_pending() runs
+            # right after the materializing action.
             old = self._hot
             self._hot = hot
             # terminal keys only ever ENTER cold (they were hot before this
@@ -379,7 +408,7 @@ class CrawlEngine:
             # preserves the unique-per-url_hash invariant.
             self._cold = prev_cold.unionByName(committed.filter(~active))
             if old is not None:
-                old.unpersist()
+                self._pending_release.append(old)
             self.last_commit_timings["resolve"] = round(time.time() - t0, 3)
             t0 = time.time()
             if self.t_flog.num_dirs() >= self.compact_every:
@@ -396,6 +425,7 @@ class CrawlEngine:
                     frame.unpersist()
                 except Exception:
                     pass
+            self._release_pending()
             self._hot = None
             self._cold = None
             # the delta IS committed but _absorb_bloom_delta will never
@@ -555,8 +585,11 @@ class CrawlEngine:
             batch = batch.persist()
             persisted.append(batch)
             # materializes the persisted batch once; also the regime switch
-            # input for fetch_join's broadcast ceiling.
+            # input for fetch_join's broadcast ceiling. Scanning hot here
+            # populates its cache if last round's advance left it lazy —
+            # the superseded frame it was built from can now be released.
             dequeued = batch.count()
+            self._release_pending()
             _mark("dequeue")
 
             # robots gate (J4): blocked rows become terminal outcomes. The
@@ -1045,6 +1078,7 @@ class CrawlEngine:
         ):
             if df is not None:
                 df.unpersist()
+        self._release_pending()
         self._drop_bloom()
         self._hot = None
         self._cold = None
