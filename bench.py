@@ -380,6 +380,39 @@ def main() -> None:
     extras["ann_ivf_trained_recall_at_5"] = _recall(
         ivf_trained_topk(emb, n_clusters=8, nprobe=2, query_mod=53, k=5)
     )
+    # recall is DATA-dependent: the synthetic embeddings are near-uniform,
+    # so recall ≈ the probed corpus fraction (nprobe/C) — documented in
+    # tests/test_export_profile.py. Two extra readings pin the machinery:
+    # (a) the nprobe curve must rise monotonically to 1.0 at full probe;
+    extras["ann_ivf_trained_recall_curve"] = {
+        f"nprobe_{p}": _recall(
+            ivf_trained_topk(emb, n_clusters=8, nprobe=p, query_mod=53, k=5)
+        )
+        for p in (1, 2, 4, 8)
+    }
+    truth.unpersist()
+    # (b) on CLUSTERED data — the regime real text/image embeddings live
+    # in — the same quantizer at the same probed fraction must clear 0.9.
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(0)
+    dim = len(emb.select("embedding").first()[0])
+    centers = rng.normal(size=(16, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[np.arange(4000) % 16] + 0.05 * rng.normal(size=(4000, dim))
+    emb_c = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(4000), "embedding": list(pts.astype(float))}
+        )
+    )
+    truth = (
+        cosine_topk(emb_c, query_mod=53, k=5).select("qid", "neighbor_id").persist()
+    )
+    n_truth = truth.count()
+    extras["ann_ivf_trained_recall_clustered"] = _recall(
+        ivf_trained_topk(emb_c, n_clusters=16, nprobe=2, query_mod=53, k=5)
+    )
     truth.unpersist()
 
     total = round(sum(timings.values()), 3)

@@ -893,6 +893,16 @@ class CrawlEngine:
 
             def _timed(name: str, table: TableIO, df: DataFrame) -> str:
                 w0 = time.time()
+                # pool assignment is a per-thread local property: under
+                # the default FIFO scheduler it is inert (local[32] —
+                # the three small writes interleave fine), but on a
+                # shared cluster running spark.scheduler.mode=FAIR it
+                # keeps the round's concurrent writes in one pool so
+                # they share executors fairly instead of queueing behind
+                # a sibling job (r4 plan-audit note).
+                self.spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", "crawl-writes"
+                )
                 d = table.write_data(df)
                 self.last_write_timings[name] = round(time.time() - w0, 3)
                 return d
