@@ -301,6 +301,7 @@ def main() -> None:
         "dedup_embedding_cosine",
         "lang_id",
         "token_counts",
+        "char_lm_score",
         "ann_cosine_topk",
         "event_sessions",
         "order_priority_counts",

@@ -462,6 +462,60 @@ def test_repetition_stats_on_planted_doc(spark):
     assert (rows[3].n_bigrams, rows[3].top_bigram_count) == (3, 2)
 
 
+def test_char_lm_score_discriminates_and_matches_python_reference(spark):
+    """CCNet-style char-trigram LM scoring: (a) a fluent doc (drawn from
+    the training distribution) must score a higher mean smoothed
+    likelihood and lower OOV rate than gibberish; (b) the distributed
+    integer arithmetic must equal a plain-Python reference model
+    gram-for-gram; (c) docs shorter than the window report zeros."""
+    from collections import Counter
+
+    from warcannon_spark.operators.textstats import char_lm_score
+
+    train_texts = [
+        "the cat sat on the mat and the dog sat on the log",
+        "the rat sat on the hat and the cat ran to the mat",
+    ]
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "doc_id long, text string"
+    )
+    docs_rows = [
+        (10, "the cat sat on the log"),  # fluent: in-distribution grams
+        (11, "zqxv jkwp bzzf qqqv xxj"),  # gibberish: mostly OOV
+        (12, "ab"),  # shorter than the trigram window
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    rows = {r.doc_id: r for r in char_lm_score(docs, train).collect()}
+
+    # (c) short doc: zeros
+    assert (rows[12].n_grams, rows[12].sum_prob_micro, rows[12].oov_grams) == (0, 0, 0)
+
+    # (a) fluent >> gibberish on mean likelihood; OOV inverted
+    mean10 = rows[10].sum_prob_micro / rows[10].n_grams
+    mean11 = rows[11].sum_prob_micro / rows[11].n_grams
+    assert mean10 > 5 * mean11
+    assert rows[10].oov_grams < rows[11].oov_grams
+
+    # (b) exact agreement with a Python reference implementation
+    c3: Counter = Counter()
+    for t in train_texts:
+        for i in range(len(t) - 2):
+            c3[t[i : i + 3]] += 1
+    c2: Counter = Counter()
+    for g, c in c3.items():
+        c2[g[:2]] += c
+    v = len({g[2] for g in c3})
+    for doc_id, text in docs_rows:
+        grams = [text[i : i + 3] for i in range(max(len(text) - 2, 0))]
+        s = sum(
+            (1_000_000 * (2 * c3.get(g, 0) + 1)) // (2 * c2.get(g[:2], 0) + v)
+            for g in grams
+        )
+        oov = sum(1 for g in grams if g not in c3)
+        assert (rows[doc_id].n_grams, rows[doc_id].sum_prob_micro,
+                rows[doc_id].oov_grams) == (len(grams), s, oov)
+
+
 def test_pack_sequences_two_phase_equals_global_and_python_reference(spark):
     """The scale-safe bucketed prefix sum must equal both a tiny-bucket
     variant (every doc its own bucket) and a plain Python running-sum

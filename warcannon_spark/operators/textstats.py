@@ -155,3 +155,96 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("top_bigram_count"),
     )
+
+
+def char_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, gram) — character n-grams, one row per POSITION. Pure
+    native expressions (sequence → transform(substring) → explode); the
+    ``length >= n`` guard mirrors curation.word_ngrams (Spark's
+    ``sequence`` counts DOWN for negative spans)."""
+    grams = F.when(
+        F.length(text_col) >= n,
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - {n - 1}),"
+            f" i -> substring({text_col}, i, {n}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(grams).alias("gram"))
+
+
+def char_lm_tables(
+    train: DataFrame, n: int = 3, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train a character n-gram LM on ``train``: returns
+    (gram_counts(gram, c_gram), prefix_counts(prefix, c_prefix), V)
+    where c_prefix sums the gram counts sharing the (n-1)-char prefix
+    (the conditional denominator) and V is the alphabet size (distinct
+    final characters across training grams — one scalar, collected like
+    the k-means centroids). Both tables are bounded by alphabet^n, so
+    they BROADCAST at any corpus scale — the 100 TB scoring side never
+    shuffles its grams."""
+    grams = char_ngrams(train, n, text_col)
+    c3 = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c_gram"))
+    c2 = (
+        c3.groupBy(F.substring("gram", 1, n - 1).alias("prefix"))
+        .agg(F.sum("c_gram").alias("c_prefix"))
+    )
+    v = c3.select(
+        F.countDistinct(F.substring("gram", n, 1)).alias("v")
+    ).collect()[0][0]
+    return c3, c2, int(v or 1)
+
+
+def char_lm_score(
+    docs: DataFrame,
+    train: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020 filter corpora
+    with a reference-corpus LM; same role here, char-level): score each
+    document by the add-1/2-smoothed conditional probability of its
+    character n-grams under a model trained on ``train``.
+
+    Exact-integer formulation (engine convention: floats never cross the
+    oracle boundary, and double SUMS are order-dependent): per gram,
+        prob_micro = (10^6 * (2*c_gram + 1)) DIV (2*c_prefix + V)
+    — a pure integer floor-division both engines compute identically —
+    and per doc the INTEGER aggregates (n_grams, sum_prob_micro,
+    oov_grams). sum_prob_micro/n_grams is the mean smoothed likelihood
+    in micro-units (high = fluent under the reference corpus); callers
+    threshold it exactly like a perplexity cut, keeping the comparison
+    monotone (linear vs log does not change the ranking's direction).
+
+    Scale shape: both LM tables broadcast (alphabet^n-bounded); scoring
+    is explode → two map-side broadcast joins → one partial-aggregated
+    doc-sum shuffle. Docs shorter than ``n`` report zeros."""
+    c3, c2, v = char_lm_tables(train, n, text_col)
+    scored = (
+        char_ngrams(docs, n, text_col)
+        .join(F.broadcast(c3), "gram", "left")
+        .withColumn("prefix", F.substring("gram", 1, n - 1))
+        .join(F.broadcast(c2), "prefix", "left")
+        .select(
+            "doc_id",
+            F.expr(
+                f"(1000000 * (2 * coalesce(c_gram, 0) + 1))"
+                f" DIV (2 * coalesce(c_prefix, 0) + {v})"
+            ).alias("prob_micro"),
+            F.when(F.col("c_gram").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("oov"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("prob_micro").alias("sum_prob_micro"),
+            F.sum("oov").alias("oov_grams"),
+        )
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("sum_prob_micro", F.lit(0)).cast("long").alias("sum_prob_micro"),
+        F.coalesce("oov_grams", F.lit(0)).cast("long").alias("oov_grams"),
+    )

@@ -1545,6 +1545,54 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "char_lm_score",
+    """WITH tg AS (
+  SELECT substr(text, CAST(i AS INT), 3) AS gram
+  FROM documents, UNNEST(generate_series(1, len(text) - 2)) AS t(i)
+  WHERE doc_id % 20 = 0
+),
+c3 AS (SELECT gram, count(*) AS c_gram FROM tg GROUP BY gram),
+c2 AS (SELECT substr(gram, 1, 2) AS prefix, sum(c_gram) AS c_prefix
+       FROM c3 GROUP BY prefix),
+vv AS (SELECT count(DISTINCT substr(gram, 3, 1)) AS v FROM c3),
+sg AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 3) AS gram
+  FROM documents, UNNEST(generate_series(1, len(text) - 2)) AS t(i)
+  WHERE doc_id % 20 <> 0
+),
+j AS (
+  SELECT sg.doc_id,
+         (1000000 * (2 * coalesce(c3.c_gram, 0) + 1))
+           // (2 * coalesce(c2.c_prefix, 0) + (SELECT v FROM vv)) AS pm,
+         CASE WHEN c3.gram IS NULL THEN 1 ELSE 0 END AS oov
+  FROM sg LEFT JOIN c3 USING (gram)
+          LEFT JOIN c2 ON substr(sg.gram, 1, 2) = c2.prefix
+),
+agg AS (SELECT doc_id, count(*) AS n_grams, sum(pm) AS s, sum(oov) AS o
+        FROM j GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(agg.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(agg.s, 0) AS BIGINT) AS sum_prob_micro,
+  CAST(coalesce(agg.o, 0) AS BIGINT) AS oov_grams
+FROM documents d LEFT JOIN agg USING (doc_id)
+WHERE d.doc_id % 20 <> 0""",
+)
+def q_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: char-trigram model trained on the
+    doc_id % 20 = 0 slice (standing in for the reference corpus), every
+    other doc scored by mean smoothed trigram likelihood + OOV count —
+    exact-integer formulation so the oracle hash-matches (see
+    operators/textstats.char_lm_score for the scale shape: LM tables
+    broadcast, one partial-aggregated doc-sum shuffle)."""
+    from .operators.textstats import char_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 == 0)
+    rest = docs.filter(F.col("doc_id") % 20 != 0)
+    return char_lm_score(rest, train)
+
+
+@_q(
     "pack_sequences",
     """WITH t AS (SELECT doc_id,
   CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)
