@@ -462,6 +462,34 @@ def test_repetition_stats_on_planted_doc(spark):
     assert (rows[3].n_bigrams, rows[3].top_bigram_count) == (3, 2)
 
 
+def test_span_dedup_keeps_first_occurrence_and_rebuilds(spark):
+    """C4-style span dedup, hand-checkable: the repeated eligible span
+    ('the cat sat') survives only at its first (doc, pos) location —
+    including a SECOND occurrence within the same document — short
+    spans always survive, and clean_text rebuilds from survivors in
+    positional order (empty if everything was removed)."""
+    from warcannon_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat. on my mat. the cat sat"),  # dup within doc
+            (2, "the cat sat. hi. something else here"),
+            (3, "the cat sat"),  # whole doc is a known span
+            (4, "hi. hi. hi"),  # short spans: never deduped
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in span_dedup(docs, min_words=3).collect()}
+    assert rows[1].clean_text == "the cat sat. on my mat"
+    assert (rows[1].n_spans, rows[1].n_removed) == (3, 1)
+    assert rows[2].clean_text == "hi. something else here"
+    assert (rows[2].n_spans, rows[2].n_removed) == (3, 1)
+    assert rows[3].clean_text == ""
+    assert (rows[3].n_spans, rows[3].n_removed) == (1, 1)
+    assert rows[4].clean_text == "hi. hi. hi"
+    assert (rows[4].n_spans, rows[4].n_removed) == (3, 0)
+
+
 def test_char_lm_score_discriminates_and_matches_python_reference(spark):
     """CCNet-style char-trigram LM scoring: (a) a fluent doc (drawn from
     the training distribution) must score a higher mean smoothed

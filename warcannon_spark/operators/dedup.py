@@ -385,3 +385,86 @@ def simhash(docs: DataFrame) -> DataFrame:
             F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return per_doc.select("doc_id", sim.alias("simhash"))
+
+
+def span_dedup(
+    docs: DataFrame,
+    min_words: int = 3,
+    sep: str = ". ",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style corpus-wide SPAN deduplication (Raffel et al. 2020 §2.2
+    remove repeated three-sentence spans; RefinedWeb runs the same stage
+    line-wise): split every document on ``sep``, and for each span of at
+    least ``min_words`` words that occurs at more than one (doc, pos)
+    location ANYWHERE in the corpus, keep only the first occurrence
+    (ordered by doc id, then position); short spans always survive.
+    Documents are reassembled from their surviving spans in order.
+
+    Output: (doc_id, clean_text, n_spans, n_removed).
+
+    Scale shape: one exchange keyed by span text for the global
+    first-occurrence choice — a ``min(struct(doc, pos))`` aggregate, so
+    it PARTIAL-AGGREGATES map-side and a hyper-common span ("Thank
+    you.") folds to one row per map partition before the shuffle (no
+    skew blowup) — then one doc-keyed exchange to rebuild. The
+    survivors join is span-keyed and reuses the dedup exchange's
+    partitioning; nothing ever collects to the driver."""
+    # Spark split() takes a REGEX — quote the separator so '. ' means a
+    # literal dot-space (DuckDB's string_split twin is literal); -1
+    # keeps trailing empty spans so reassembly is byte-faithful.
+    import re as _re
+
+    spans = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
+            "pos", "span"
+        ),
+    ).withColumn("pos", F.col("pos") + 1)  # 1-based, oracle parity
+    eligible = F.size(F.split(F.col("span"), " ", -1)) >= min_words
+    tagged = spans.withColumn("__elig", eligible)
+    winners = (
+        tagged.filter("__elig")
+        .groupBy("span")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"))
+        .select(
+            "span",
+            F.col(f"__first.{id_col}").alias("__w_doc"),
+            F.col("__first.pos").alias("__w_pos"),
+        )
+    )
+    survivors = (
+        tagged.join(winners, "span", "left")
+        .withColumn(
+            "__keep",
+            (~F.col("__elig"))
+            | ((F.col(id_col) == F.col("__w_doc")) & (F.col("pos") == F.col("__w_pos"))),
+        )
+    )
+    return (
+        survivors.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("__keep"), 0).otherwise(1)).alias("n_removed"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"), F.struct("pos", "span")
+                            )
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select(
+            id_col,
+            "clean_text",
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+        )
+    )

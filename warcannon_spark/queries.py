@@ -1593,6 +1593,55 @@ def q_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "span_dedup",
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sent AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(w[CAST(2*i-1 AS INT):CAST(2*i AS INT)], ' ') AS span
+  FROM s, UNNEST(generate_series(1, CAST(ceil(len(w)/2.0) AS BIGINT))) AS t(i)
+),
+tagged AS (SELECT *, len(string_split(span, ' ')) >= 2 AS elig FROM sent),
+w2 AS (SELECT doc_id, pos, span,
+              row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+       FROM tagged WHERE elig),
+k AS (
+  SELECT doc_id, pos, span, TRUE AS keep FROM tagged WHERE NOT elig
+  UNION ALL
+  SELECT doc_id, pos, span, rn = 1 AS keep FROM w2
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_removed,
+         string_agg(CASE WHEN keep THEN span END, '. ' ORDER BY pos)
+           AS clean_text
+  FROM k GROUP BY doc_id
+)
+SELECT doc_id, COALESCE(clean_text, '') AS clean_text,
+       CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(n_removed AS BIGINT) AS n_removed
+FROM agg""",
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide span dedup (operators/dedup.span_dedup):
+    the corpus is sentence-ified deterministically (2-word sentences
+    joined by '. ' — the tiny synthetic vocabulary guarantees real
+    cross-document duplication), then every repeated eligible span
+    keeps only its first (doc_id, pos) occurrence and documents are
+    rebuilt from survivors. The DuckDB twin derives the same sentences
+    and resolves first-occurrence with a row_number window."""
+    from .operators.dedup import span_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ", -1)
+    sent = F.transform(
+        F.sequence(F.lit(1), F.ceil(F.size(w) / 2).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(w, i * 2 - 1, 2)),
+    )
+    docs2 = docs.select("doc_id", F.concat_ws(". ", sent).alias("text"))
+    return span_dedup(docs2, min_words=2)
+
+
+@_q(
     "pack_sequences",
     """WITH t AS (SELECT doc_id,
   CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)
