@@ -327,3 +327,43 @@ def test_prepared_statement_queries_prune_partitions(spark, sf_dir):
     assert "subset" in pf and "warc" in pf, pf
     files = [r.warc_filename for r in df_all.collect()]
     assert files == sorted(files) and len(files) == len(set(files))
+
+
+def test_char_lm_score_broadcasts_lm_and_partial_aggregates(spark):
+    """r5 char_lm_score scale shape: BOTH LM tables reach the scoring
+    join as broadcasts (alphabet^n-bounded build sides — the corpus
+    grams must never shuffle wholesale), and the per-doc sum partial-
+    aggregates map-side."""
+    from warcannon_spark.operators.textstats import char_lm_score
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text sample body") for i in range(20)],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(100, "doc text sample body corpus")], "doc_id long, text string"
+    )
+    out = char_lm_score(docs, train)
+    plan = plan_str(out)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # the per-doc sum partial-aggregates before its exchange
+    assert "partial_sum" in plan and "partial_count" in plan, plan
+
+
+def test_span_dedup_first_occurrence_is_partial_aggregated(spark):
+    """r5 span_dedup scale shape: the global keep-first choice is a
+    min(struct) hash aggregate keyed by span text — it must PARTIAL-
+    aggregate before its exchange (a hyper-common span folds to one row
+    per map partition, the skew story), never a window sort over the
+    full span stream."""
+    from warcannon_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat. on my mat. hello world there") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = plan_str(span_dedup(docs, min_words=3))
+    assert "partial_min" in plan or "partial_count" in plan, plan
+    # no Window operator anywhere (the oracle uses row_number; the
+    # engine must not)
+    assert "Window" not in plan, plan
