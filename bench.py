@@ -302,6 +302,8 @@ def main() -> None:
         "lang_id",
         "token_counts",
         "char_lm_score",
+        "span_dedup",
+        "pii_scrub",
         "ann_cosine_topk",
         "event_sessions",
         "order_priority_counts",

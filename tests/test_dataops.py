@@ -578,3 +578,31 @@ def test_pack_sequences_two_phase_equals_global_and_python_reference(spark):
     # every pack except the last is filled past... at least budget - max_doc
     last = max(sums)
     assert all(s > budget - max_doc for p, s in sums.items() if p != last)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    """Pre-release PII scrub: emails, IPv4s and +international phones
+    become typed placeholders with per-pattern counts measured on the
+    original text; 4-digit octet runs are NOT IPs (word-boundary
+    anchors); bare alphanumerics never match."""
+    from warcannon_spark.operators.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.org or x@y.io today"),
+            (2, "host 10.0.255.7 then 1234.1.1.1 and 1.1.1.1234 stay"),
+            (3, "call +14155550123 not 555-1234"),
+            (4, "plain text with no secrets at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert rows[1].clean_text == "mail <EMAIL> or <EMAIL> today"
+    assert (rows[1].n_emails, rows[1].n_ips, rows[1].n_phones) == (2, 0, 0)
+    # 1234.1.1.1 / 1.1.1.1234: no \b split inside a digit run → not IPs
+    assert rows[2].clean_text == "host <IP> then 1234.1.1.1 and 1.1.1.1234 stay"
+    assert (rows[2].n_emails, rows[2].n_ips, rows[2].n_phones) == (0, 1, 0)
+    assert rows[3].clean_text == "call <PHONE> not 555-1234"
+    assert (rows[3].n_emails, rows[3].n_ips, rows[3].n_phones) == (0, 0, 1)
+    assert rows[4].clean_text == rows[4].clean_text == "plain text with no secrets at all"
+    assert (rows[4].n_emails, rows[4].n_ips, rows[4].n_phones) == (0, 0, 0)

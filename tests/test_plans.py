@@ -367,3 +367,17 @@ def test_span_dedup_first_occurrence_is_partial_aggregated(spark):
     # no Window operator anywhere (the oracle uses row_number; the
     # engine must not)
     assert "Window" not in plan, plan
+
+
+def test_pii_scrub_is_a_pure_map(spark):
+    """r5 pii_scrub scale shape: redaction is regexp expression work
+    inside the scan's codegen stage — zero exchanges, zero Python."""
+    from warcannon_spark.operators.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} user@example.com") for i in range(8)],
+        "doc_id long, text string",
+    )
+    plan = plan_str(pii_scrub(docs))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

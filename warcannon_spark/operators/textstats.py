@@ -248,3 +248,43 @@ def char_lm_score(
         F.coalesce("sum_prob_micro", F.lit(0)).cast("long").alias("sum_prob_micro"),
         F.coalesce("oov_grams", F.lit(0)).cast("long").alias("oov_grams"),
     )
+
+
+# PII patterns chosen from the Java-regex ∩ RE2 common subset (no
+# lookarounds, no backrefs) so the Spark engine and the DuckDB oracle
+# match occurrence-for-occurrence.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+[0-9]{7,15}"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-corpus PII redaction (the standard pre-release scrub —
+    e.g. BigScience ROOTS and The Pile redact emails/IPs): replace
+    emails, IPv4 addresses and international phone numbers with typed
+    placeholder tokens and report per-document match counts.
+
+    Counts are measured on the ORIGINAL text per pattern; replacements
+    apply sequentially email → ip → phone (documented order — an email
+    with a numeric host would otherwise leave ambiguity). All native
+    expressions (regexp_count / regexp_replace, JVM-side, zero
+    shuffles) — at 100 TB this is a pure map over the corpus scan."""
+    email_n = F.regexp_count(F.col(text_col), F.lit(PII_EMAIL_RE))
+    ip_n = F.regexp_count(F.col(text_col), F.lit(PII_IPV4_RE))
+    phone_n = F.regexp_count(F.col(text_col), F.lit(PII_PHONE_RE))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        email_n.cast("long").alias("n_emails"),
+        ip_n.cast("long").alias("n_ips"),
+        phone_n.cast("long").alias("n_phones"),
+    )

@@ -1978,3 +1978,67 @@ def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("users"),
         )
     )
+
+
+@_q(
+    "pii_scrub",
+    r"""WITH e AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+           THEN text || ' contact user' || doc_id || '@example.com now'
+         WHEN doc_id % 3 = 1
+           THEN text || ' from 10.' || (doc_id % 250) || '.0.'
+                || (doc_id % 200) || ' at +1415' || (5550000 + doc_id)
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+    '\+[0-9]{7,15}', '<PHONE>', 'g') AS clean_text,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text,
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(text,
+    '\+[0-9]{7,15}')) AS BIGINT) AS n_phones
+FROM e""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-release PII redaction (operators/textstats.pii_scrub): the
+    synthetic corpus carries no PII, so the query deterministically
+    plants one email (doc_id%3==0) or one IP + one phone (doc_id%3==1)
+    per doc — derived from doc_id identically in both engines — then
+    scrubs. Counts measured on the planted text, replacements applied
+    email -> ip -> phone. Pure native regexp map, zero shuffles."""
+    from .operators.textstats import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.col("text")
+    enriched = (
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                t,
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                t,
+                F.lit(" from 10."),
+                (did % 250).cast("string"),
+                F.lit(".0."),
+                (did % 200).cast("string"),
+                F.lit(" at +1415"),
+                (F.lit(5550000) + did).cast("string"),
+            ),
+        )
+        .otherwise(t)
+    )
+    return pii_scrub(docs.select("doc_id", enriched.alias("text")))
