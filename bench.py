@@ -304,6 +304,10 @@ def main() -> None:
         "char_lm_score",
         "span_dedup",
         "pii_scrub",
+        "dedup_ngram_jaccard",
+        "url_blocklist_filter",
+        "corpus_mixture",
+        "global_shuffle",
         "ann_cosine_topk",
         "event_sessions",
         "order_priority_counts",

@@ -314,8 +314,12 @@ def test_curation_cache_hygiene(spark):
     module registry + attached to the result, releasable on demand."""
     from warcannon_spark.operators import curation
 
-    def n_materialized() -> int:
-        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    def materialized_ids() -> set:
+        # ids, not a count: unpersists from EARLIER tests land
+        # asynchronously and can shrink the global count mid-test; only
+        # NEW cached RDDs indicate a leak from the calls under test
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return {infos[i].id() for i in range(len(infos))}
 
     bench = spark.createDataFrame(
         [(100, "alpha beta gamma delta epsilon zeta eta theta")],
@@ -325,10 +329,10 @@ def test_curation_cache_hygiene(spark):
         [(1, "x alpha beta gamma delta epsilon zeta eta theta y")],
         "doc_id long, text string",
     )
-    before = n_materialized()
+    before = materialized_ids()
     for _ in range(3):  # repeated calls in a long-lived driver
         curation.decontaminate(train, bench, n=8).collect()
-    assert n_materialized() == before  # no cache growth
+    assert not (materialized_ids() - before)  # no cache growth
 
     docs = spark.createDataFrame(
         [(i, "w " * (i % 7 + 1)) for i in range(50)], "doc_id long, text string"
@@ -606,3 +610,125 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert (rows[3].n_emails, rows[3].n_ips, rows[3].n_phones) == (0, 0, 1)
     assert rows[4].clean_text == rows[4].clean_text == "plain text with no secrets at all"
     assert (rows[4].n_emails, rows[4].n_ips, rows[4].n_phones) == (0, 0, 0)
+
+
+def test_ngram_jaccard_exact_pairs(spark):
+    """Inverted-index exact Jaccard: superset pair 6/8, exact-dup pair
+    6/6, disjoint doc absent; floor-div ppm."""
+    from warcannon_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h x y"),
+            (3, "q r s t u v w z"),
+            (4, "a b c d e f g h"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_a, r.doc_b): r
+        for r in ngram_jaccard_pairs(docs, threshold_ppm=500_000).collect()
+    }
+    assert set(rows) == {(1, 2), (1, 4), (2, 4)}
+    assert (rows[(1, 2)].inter_cnt, rows[(1, 2)].union_cnt) == (6, 8)
+    assert rows[(1, 2)].jaccard_ppm == 750000
+    assert rows[(1, 4)].jaccard_ppm == 1000000
+
+
+def test_ngram_jaccard_df_cap_drops_stop_shingles(spark):
+    """Shingles above the df cap vanish from intersections AND sizes —
+    two docs sharing only a stop-shingle yield no pair."""
+    from warcannon_spark.operators.dedup import ngram_jaccard_pairs
+
+    # every doc contains the shingle "x y z" (df = 4 > cap 3); docs 1/2
+    # additionally share a rare tail
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z p q r s"),
+            (2, "x y z p q r s"),
+            (3, "x y z m n o u"),
+            (4, "x y z c d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = ngram_jaccard_pairs(docs, threshold_ppm=100_000, df_cap=3).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in rows}
+    assert set(pairs) == {(1, 2)}
+    # all 5 shingles of doc1 have df<=3? "x y z" df=4 dropped; the other
+    # 4 shingles ("y z p","z p q","p q r","q r s") have df=2 → sz=4
+    assert (pairs[(1, 2)].inter_cnt, pairs[(1, 2)].union_cnt) == (4, 4)
+    assert pairs[(1, 2)].jaccard_ppm == 1000000
+
+
+def test_blocklist_filter_suffix_and_regex(spark):
+    """Domain gate: exact host + any-depth subdomain blocked; a host
+    merely CONTAINING a blocked domain as a prefix survives; path regex
+    drops independently."""
+    from warcannon_spark.operators.curation import blocklist_filter
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://h7.example/keep", "h7.example"),
+            (2, "https://x.h7.example/a", "x.h7.example"),
+            (3, "https://a.b.h7.example/deep", "a.b.h7.example"),
+            (4, "https://h7.example.evil/x", "h7.example.evil"),
+            (5, "https://safe.example/ok", "safe.example"),
+            (6, "https://safe.example/track/px", "safe.example"),
+            (7, "https://ads.example.net/z", "ads.example.net"),
+        ],
+        "fetch_seq long, url string, host string",
+    )
+    blocked = spark.sql(
+        "SELECT domain FROM VALUES ('h7.example'), ('ads.example.net') AS t(domain)"
+    )
+    out = blocklist_filter(pages, blocked, [r"/track/"])
+    assert sorted(r.fetch_seq for r in out.collect()) == [4, 5]
+    assert out.columns == pages.columns  # helper cols dropped
+
+
+def test_corpus_mixture_temperature_weights(spark):
+    """9:1 token split at alpha=0.5 gives exactly 3:1 weights."""
+    from warcannon_spark.operators.curation import corpus_mixture
+
+    docs = spark.createDataFrame(
+        [("big", " ".join(["w"] * 90)), ("small", " ".join(["w"] * 10))],
+        "source string, text string",
+    )
+    rows = {r.source: r for r in corpus_mixture(docs).collect()}
+    assert rows["big"].tokens == 90 and rows["small"].tokens == 10
+    assert abs(rows["big"].share - 0.9) < 1e-12
+    assert abs(rows["big"].weight - 0.75) < 1e-9
+    assert abs(rows["small"].weight - 0.25) < 1e-9
+
+
+def test_global_shuffle_matches_naive_permutation(spark):
+    """Bucketed two-phase rank == naive global sort by (h64, id);
+    shard sizes differ by <= 1; salt change = fresh permutation."""
+    import hashlib
+
+    from warcannon_spark.operators.curation import global_shuffle
+
+    ids = list(range(1, 42))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {r.doc_id: r for r in global_shuffle(docs, n_shards=4).collect()}
+
+    def key(i):
+        return int(hashlib.md5(f"shuf-v1:{i}".encode()).hexdigest()[:15], 16)
+
+    expect = sorted(ids, key=lambda i: (key(i), i))
+    for pos, i in enumerate(expect):
+        assert out[i].shuffle_pos == pos, (i, out[i])
+        assert out[i].shuffle_key == key(i)
+        assert out[i].shard_id == (pos * 4) // len(ids)
+    from collections import Counter
+
+    sizes = Counter(r.shard_id for r in out.values())
+    assert set(sizes) == {0, 1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+    other = {
+        r.doc_id: r.shuffle_pos
+        for r in global_shuffle(docs, n_shards=4, salt="shuf-v2").collect()
+    }
+    assert [out[i].shuffle_pos for i in ids] != [other[i] for i in ids]

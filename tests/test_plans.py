@@ -381,3 +381,66 @@ def test_pii_scrub_is_a_pure_map(spark):
     plan = plan_str(pii_scrub(docs))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_ngram_jaccard_is_equi_join_not_all_pairs(spark):
+    """r5 exact-Jaccard scale shape: candidate generation is an
+    equi-join on shingle — no cartesian/nested-loop, no windows."""
+    from warcannon_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} a b c d e f") for i in range(8)],
+        "doc_id long, text string",
+    )
+    plan = plan_str(ngram_jaccard_pairs(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_blocklist_filter_never_shuffles_the_corpus(spark):
+    """r5 blocklist scale shape: every domain level is a map-side
+    broadcast LeftAnti equi-join; the page corpus sees no hash
+    exchange and no nested-loop scan."""
+    from warcannon_spark.operators.curation import blocklist_filter
+
+    pages = spark.createDataFrame(
+        [(i, f"https://h{i}.example/p/{i}", f"h{i}.example") for i in range(8)],
+        "fetch_seq long, url string, host string",
+    )
+    blocked = spark.sql("SELECT domain FROM VALUES ('h3.example') AS t(domain)")
+    plan = plan_str(blocklist_filter(pages, blocked, [r"/track/"]))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("LeftAnti, BuildRight") == 4, plan
+
+
+def test_corpus_mixture_window_is_post_aggregate(spark):
+    """r5 mixture scale shape: exactly one corpus shuffle (the groupBy);
+    the empty-frame windows run on the aggregated #sources-row frame
+    (SinglePartition exchange AFTER the aggregate, never the corpus)."""
+    from warcannon_spark.operators.curation import corpus_mixture
+
+    docs = spark.createDataFrame(
+        [(f"s{i%3}", "a b c") for i in range(9)], "source string, text string"
+    )
+    plan = plan_str(corpus_mixture(docs))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" in plan, plan
+    # the single-partition exchange must consume the aggregate, not the scan
+    agg_pos = plan.find("HashAggregate")
+    assert agg_pos != -1 and plan.find("Exchange SinglePartition") < agg_pos, plan
+
+
+def test_global_shuffle_has_no_global_sort(spark):
+    """r5 export-shuffle scale shape: the rank window partitions by
+    hash-range bucket (one hash exchange) and offsets join broadcast —
+    the corpus never collapses to a single partition."""
+    from warcannon_spark.operators.curation import global_shuffle
+
+    docs = spark.createDataFrame([(i,) for i in range(64)], "doc_id long")
+    plan = plan_str(global_shuffle(docs))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -246,3 +246,148 @@ def pack_sequences(
     )
     out.curation_cache = base  # caller may unpersist after consuming
     return out
+
+
+def blocklist_filter(
+    pages: DataFrame,
+    blocked_domains: DataFrame,
+    path_block_res: list[str] | None = None,
+    host_col: str = "host",
+    url_col: str = "url",
+    max_labels: int = 4,
+) -> DataFrame:
+    """URL/domain blocklist gate (the RefinedWeb/UT1-style pre-filter a
+    web-text pipeline runs before any content work): drop pages whose
+    host equals a blocked domain OR is a subdomain of one, plus pages
+    whose URL matches any blocked path regex.
+
+    Scale shape — ZERO shuffles of the page corpus: the blocklist (a
+    ``domain`` column; UT1 is ~4M rows ≈ tens of MB) is broadcast, and
+    suffix matching is a chain of ``max_labels`` map-side
+    BroadcastHashJoin LeftAnti joins, one per suffix length (the last j
+    labels of the host vs j-label blocked domains). This keeps the
+    predicate an equi-join — never a NestedLoop contains() scan — and
+    the corpus never moves. Blocked domains longer than ``max_labels``
+    labels are ignored by construction (raise ``max_labels`` to cover
+    them). Path regexes fold into one alternation evaluated in the
+    scan's codegen stage.
+    """
+    out = pages
+    if path_block_res:
+        combined = "|".join(f"(?:{p})" for p in path_block_res)
+        out = out.filter(~F.col(url_col).rlike(combined))
+    labels = F.split(F.col(host_col), r"\.")
+    for j in range(1, max_labels + 1):
+        sfx = F.when(
+            F.size(labels) >= j,
+            F.concat_ws(".", F.slice(labels, -j, j)),
+        )
+        out = out.withColumn(f"__sfx{j}", sfx).join(
+            F.broadcast(blocked_domains.select(F.col("domain").alias(f"__blk{j}"))),
+            F.col(f"__sfx{j}") == F.col(f"__blk{j}"),
+            "left_anti",
+        )
+    return out.drop(*[f"__sfx{j}" for j in range(1, max_labels + 1)])
+
+
+def corpus_mixture(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mixture weights per source (the Pile/DoReMi-style
+    composition step): whitespace-token counts per source, the raw
+    corpus share, and a temperature-scaled sampling weight
+    ``share^alpha / sum(share^alpha)`` — alpha < 1 upweights small
+    high-quality sources exactly the way multilingual/multi-corpus
+    training mixes do.
+
+    Scale shape: one partial-aggregated shuffle over the corpus
+    (groupBy source); the two global sums run as empty-frame windows
+    over the AGGREGATED frame only — #sources rows (10s-100s), never
+    the corpus, so the single-partition window is O(sources) by
+    construction (plan-asserted).
+    """
+    from pyspark.sql import Window
+
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).cast("long").alias("tokens"),
+    )
+    everything = Window.partitionBy()
+    share = F.col("tokens") / F.sum("tokens").over(everything)
+    per = per.withColumn("share", share)
+    raw = F.pow(F.col("share"), F.lit(float(alpha)))
+    return (
+        per.withColumn("__raw", raw)
+        .withColumn("weight", F.col("__raw") / F.sum("__raw").over(everything))
+        .select("source", "n_docs", "tokens", "share", "weight")
+    )
+
+
+def global_shuffle(
+    docs: DataFrame,
+    n_shards: int = 16,
+    salt: str = "shuf-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE + shard assignment — the export step
+    between curation and training: every document gets a pseudo-random
+    but reproducible position (``shuffle_pos``) in a corpus-wide
+    permutation keyed by ``h64(salt:id)``, and contiguous position
+    ranges map to ``n_shards`` equal-size shards (|shard sizes| differ
+    by ≤ 1). Re-running with the same salt reproduces the permutation
+    bit-for-bit in any engine; changing the salt is a fresh epoch.
+
+    Scale shape — a global rank WITHOUT a single-partition sort: the
+    60-bit portable hash is uniform, so bucketing on its top bits
+    (4096 key-range buckets) load-balances by construction; ranks run
+    per bucket (ordered window inside each bucket only), bucket counts
+    (4096 rows, any corpus size) fold into offsets driver-side, and
+    ``shuffle_pos = offset + local_rank`` — identical to the naive
+    global ``row_number`` the oracle computes. Ties (h64 collisions)
+    break on id and cannot straddle buckets (equal keys share a
+    bucket)."""
+    from pyspark.sql import Window
+
+    key = h64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    # h64 ∈ [0, 2^60): top 12 bits → 4096 uniform key-range buckets
+    base = docs.select(
+        F.col(id_col),
+        key.alias("shuffle_key"),
+    ).withColumn("__bucket", F.floor(F.col("shuffle_key") / F.lit(1 << 48)))
+    base = base.persist()
+    _LIVE_CACHES.append(base)
+    w = Window.partitionBy("__bucket").orderBy("shuffle_key", id_col)
+    local = base.withColumn("__local_rank", F.row_number().over(w) - 1)
+    totals = sorted(
+        (r["__bucket"], r["c"])
+        for r in base.groupBy("__bucket").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offsets, acc = [], 0
+    for b, c in totals:
+        offsets.append((b, acc))
+        acc += c
+    n_total = max(acc, 1)
+    spark = docs.sparkSession
+    off = spark.createDataFrame(offsets or [(0, 0)], "__bucket long, __offset long")
+    out = (
+        local.join(F.broadcast(off), "__bucket")
+        .withColumn(
+            "shuffle_pos", (F.col("__offset") + F.col("__local_rank")).cast("long")
+        )
+        .select(
+            id_col,
+            "shuffle_key",
+            "shuffle_pos",
+            F.expr(
+                f"(shuffle_pos * CAST({int(n_shards)} AS BIGINT)) div "
+                f"CAST({n_total} AS BIGINT)"
+            )
+            .cast("long")
+            .alias("shard_id"),
+        )
+    )
+    out.curation_cache = base
+    return out

@@ -468,3 +468,69 @@ def span_dedup(
             F.col("n_removed").cast("long").alias("n_removed"),
         )
     )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold_ppm: int = 600_000,
+    df_cap: int = 1_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-duplicate pairs via an inverted-index
+    self-join — the deterministic complement to the probabilistic
+    MinHash path (same ≥ threshold semantics, no LSH recall loss).
+
+    Jaccard is measured over the **capped shingle vocabulary**: shingles
+    whose document frequency exceeds ``df_cap`` are dropped from both
+    the intersection AND the set sizes (the standard stop-shingle
+    treatment — ultra-common shingles carry no dedup signal and their
+    inverted lists are exactly the quadratic-blowup/skew hazard).
+    Singleton shingles (df = 1) still count toward set sizes but are
+    pruned from the pair join — they cannot contribute intersections,
+    and they are the bulk of a web corpus's shingle mass.
+
+    Scale shape: one shuffle to shingle-group (df counts), an equi-join
+    on shingle whose per-key fanout is bounded by ``df_cap``² (AQE can
+    split residual skew), and a partial-aggregated pair count. Never
+    all-pairs; no windows; pair↔size joins touch only surviving pairs.
+    jaccard_ppm is exact integer arithmetic (``div``) so the DuckDB
+    oracle matches bit-for-bit.
+    """
+    g = shingles(docs, n, text_col=text_col, id_col=id_col)
+    dfreq = g.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    capped = g.join(dfreq, "shingle").filter(F.col("df") <= df_cap)
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    pairable = capped.filter(F.col("df") >= 2).select("doc_id", "shingle")
+    pairs = (
+        pairable.alias("a")
+        .join(pairable.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    out = (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+        .withColumn("union_cnt", F.col("sz_a") + F.col("sz_b") - F.col("inter_cnt"))
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("(inter_cnt * CAST(1000000 AS BIGINT)) div union_cnt"),
+        )
+    )
+    return out.filter(F.col("jaccard_ppm") >= threshold_ppm).select(
+        "doc_a",
+        "doc_b",
+        F.col("inter_cnt").cast("long").alias("inter_cnt"),
+        F.col("union_cnt").cast("long").alias("union_cnt"),
+        F.col("jaccard_ppm").cast("long").alias("jaccard_ppm"),
+    )

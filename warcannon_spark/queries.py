@@ -2042,3 +2042,147 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(t)
     )
     return pii_scrub(docs.select("doc_id", enriched.alias("text")))
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    """WITH base AS (SELECT doc_id, text FROM documents),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         text || ' jaccard planted dup tail' AS text
+  FROM base WHERE doc_id % 20 = 0
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)
+),
+dfreq AS (SELECT shingle, count(*) AS df FROM g GROUP BY shingle),
+capped AS (
+  SELECT g.doc_id, g.shingle, dfreq.df
+  FROM g JOIN dfreq USING (shingle) WHERE df <= 1000
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_cnt
+  FROM capped a JOIN capped b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.df >= 2
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(p.inter_cnt AS BIGINT) AS inter_cnt,
+       CAST(za.sz + zb.sz - p.inter_cnt AS BIGINT) AS union_cnt,
+       CAST((p.inter_cnt * 1000000) // (za.sz + zb.sz - p.inter_cnt) AS BIGINT)
+         AS jaccard_ppm
+FROM pairs p
+JOIN sizes za ON za.doc_id = p.doc_a
+JOIN sizes zb ON zb.doc_id = p.doc_b
+WHERE (p.inter_cnt * 1000000) // (za.sz + zb.sz - p.inter_cnt) >= 600000""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (operators/dedup.
+    ngram_jaccard_pairs) — the deterministic complement to the MinHash
+    entry, inverted-index join instead of LSH. The synthetic corpus has
+    no planted near-dups, so the query unions a near-copy (4 appended
+    out-of-vocabulary words → true Jaccard ≈ 0.82) of every 20th doc —
+    derived identically in both engines — and reports all pairs ≥ 0.6."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" jaccard planted dup tail")).alias("text"),
+    )
+    return ngram_jaccard_pairs(docs.unionByName(planted))
+
+
+@_q(
+    "url_blocklist_filter",
+    f"""WITH {PAGES_CTE},
+blocked(domain) AS (VALUES ('h7.example'), ('h23.example'), ('ads.example.net'))
+SELECT url, host, CAST(fetch_seq AS BIGINT) AS fetch_seq FROM pages
+WHERE NOT regexp_matches(url, '/p/[0-9]*[05]$')
+  AND NOT EXISTS (
+    SELECT 1 FROM blocked b
+    WHERE pages.host = b.domain OR pages.host LIKE '%.' || b.domain
+  )""",
+)
+def q_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1/RefinedWeb-style URL gate (operators/curation.
+    blocklist_filter): drop pages on blocked domains (exact host or any
+    subdomain) and pages whose path matches a blocked regex. The
+    blocklist is a pure-JVM VALUES relation (no Python worker for tiny
+    driver tables) and every domain level is a map-side broadcast
+    anti-join — the corpus never shuffles (plan-asserted)."""
+    from .operators.curation import blocklist_filter
+
+    pages = pages_df(spark, sf_dir)
+    blocked = spark.sql(
+        "SELECT domain FROM VALUES ('h7.example'), ('h23.example'), "
+        "('ads.example.net') AS t(domain)"
+    )
+    return blocklist_filter(pages, blocked, [r"/p/[0-9]*[05]$"]).select(
+        "url", "host", F.col("fetch_seq").cast("long").alias("fetch_seq")
+    )
+
+
+@_q(
+    "corpus_mixture",
+    """WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+sh AS (
+  SELECT source, CAST(n_docs AS BIGINT) AS n_docs, tokens,
+         CAST(tokens AS DOUBLE) / SUM(tokens) OVER () AS share
+  FROM per
+),
+rw AS (SELECT *, pow(share, 0.5) AS raw FROM sh)
+SELECT source, n_docs, tokens, share, raw / SUM(raw) OVER () AS weight
+FROM rw""",
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture weights per source (operators/curation.
+    corpus_mixture, alpha = 0.5): corpus token share and the
+    temperature-scaled sampling weight share^alpha / sum(share^alpha).
+    One corpus shuffle; the global sums are windows over the aggregated
+    #sources-row frame only."""
+    from .operators.curation import corpus_mixture
+
+    return corpus_mixture(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "global_shuffle",
+    f"""WITH keyed AS (
+  SELECT doc_id,
+         {h64_sql("'shuf-v1:' || CAST(doc_id AS VARCHAR)")} AS shuffle_key
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, shuffle_key,
+         CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+           AS shuffle_pos,
+         count(*) OVER () AS n
+  FROM keyed
+)
+SELECT doc_id, shuffle_key, shuffle_pos,
+       CAST((shuffle_pos * 16) // n AS BIGINT) AS shard_id
+FROM ranked""",
+)
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus-wide shuffle + shard assignment (operators/
+    curation.global_shuffle): every doc gets a reproducible position in
+    a salt-keyed permutation and one of 16 equal shards. The oracle is
+    the naive single-window global row_number; the engine computes the
+    identical ranks with per-bucket windows over 4096 hash-range
+    buckets + driver-folded offsets — no single-partition sort of the
+    corpus (plan-asserted)."""
+    from .operators.curation import global_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return global_shuffle(docs, n_shards=16)
