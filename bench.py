@@ -307,6 +307,7 @@ def main() -> None:
         "dedup_ngram_jaccard",
         "url_blocklist_filter",
         "corpus_mixture",
+        "mixture_epoch_sample",
         "global_shuffle",
         "ann_cosine_topk",
         "event_sessions",

@@ -732,3 +732,58 @@ def test_global_shuffle_matches_naive_permutation(spark):
         for r in global_shuffle(docs, n_shards=4, salt="shuf-v2").collect()
     }
     assert [out[i].shuffle_pos for i in ids] != [other[i] for i in ids]
+
+
+def test_mixture_epoch_sample_multiplicities(spark):
+    """9:1 corpus, alpha=0.5 -> 3:1 weights. Epoch=120 gives exactly
+    1 copy per big doc and 3 per small doc; epoch=100 gives fractional
+    rates whose hash gate matches the Python reference exactly."""
+    import hashlib
+
+    from warcannon_spark.operators.curation import mixture_epoch_sample
+
+    docs = spark.createDataFrame(
+        [(i, "big", " ".join(["w"] * 9)) for i in range(10)]
+        + [(100 + i, "small", " ".join(["w"] * 5)) for i in range(2)],
+        "doc_id long, source string, text string",
+    )
+    out = mixture_epoch_sample(docs, epoch_tokens=120).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src["big"]) == 10  # rate exactly 1.0
+    assert len(by_src["small"]) == 6  # rate exactly 3.0 -> 3 copies x 2
+    assert {r.rate_ppm for r in by_src["big"]} == {1_000_000}
+    assert {r.rate_ppm for r in by_src["small"]} == {3_000_000}
+    assert sorted(r.copy for r in by_src["small"]) == [0, 0, 1, 1, 2, 2]
+
+    def gate(i, c):
+        h = int(hashlib.md5(f"mix-v1:{i}:{c}".encode()).hexdigest()[:15], 16)
+        return h % 1_000_000
+
+    out2 = mixture_epoch_sample(docs, epoch_tokens=100).collect()
+    big2 = [r for r in out2 if r.source == "big"]
+    small2 = [r for r in out2 if r.source == "small"]
+    # big: target 75 of 90 tokens -> rate 833333 ppm, 0 full copies
+    assert {r.rate_ppm for r in big2} == {833_333}
+    assert sorted(r.doc_id for r in big2) == sorted(
+        i for i in range(10) if gate(i, 0) < 833_333
+    )
+    # small: target 25 of 10 tokens -> rate 2.5e6: 2 full + 50% third
+    assert {r.rate_ppm for r in small2} == {2_500_000}
+    expect_small = 4 + sum(1 for i in (100, 101) if gate(i, 2) < 500_000)
+    assert len(small2) == expect_small
+
+
+def test_mixture_epoch_sample_max_copies_cap(spark):
+    """A tiny source whose rate would explode is clamped to max_copies
+    full copies (rate_ppm == max_copies * 1e6 -> no fractional gate)."""
+    from warcannon_spark.operators.curation import mixture_epoch_sample
+
+    docs = spark.createDataFrame(
+        [(1, "huge", " ".join(["w"] * 9999)), (2, "tiny", "w")],
+        "doc_id long, source string, text string",
+    )
+    out = mixture_epoch_sample(docs, epoch_tokens=100_000, max_copies=5)
+    tiny = [r for r in out.collect() if r.source == "tiny"]
+    assert len(tiny) == 5 and {r.rate_ppm for r in tiny} == {5_000_000}

@@ -444,3 +444,25 @@ def test_global_shuffle_has_no_global_sort(spark):
     assert "Exchange rangepartitioning" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_mixture_epoch_sample_emit_side_is_map_only(spark):
+    """r5 epoch-sampler scale shape: one corpus shuffle (the per-source
+    token aggregate); the rate table broadcasts back and the emit side
+    is scan -> broadcast join -> bounded explode -> filter, with the
+    single-partition windows confined to the aggregated frame."""
+    from warcannon_spark.operators.curation import mixture_epoch_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "a b c d") for i in range(12)],
+        "doc_id long, source string, text string",
+    )
+    plan = plan_str(mixture_epoch_sample(docs, epoch_tokens=100))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Generate explode" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the SinglePartition exchange feeds the post-aggregate windows only
+    agg_pos = plan.find("HashAggregate")
+    sp_pos = plan.find("Exchange SinglePartition")
+    assert sp_pos != -1 and agg_pos != -1 and sp_pos < agg_pos, plan

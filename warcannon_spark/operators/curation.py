@@ -391,3 +391,115 @@ def global_shuffle(
     )
     out.curation_cache = base
     return out
+
+
+def mixture_epoch_sample(
+    docs: DataFrame,
+    epoch_tokens: int,
+    salt: str = "mix-v1",
+    max_copies: int = 10,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize ONE TRAINING EPOCH from temperature-scaled mixture
+    weights (the step after ``corpus_mixture``): each document is
+    emitted with an integer multiplicity so that every source
+    contributes ~``weight_s x epoch_tokens`` tokens — small
+    high-quality sources are OVERSAMPLED (repeated copies), huge ones
+    downsampled — exactly the Pile/DoReMi epoch construction.
+
+    Cross-engine exact by construction (so the DuckDB oracle
+    hash-matches): alpha is fixed at 0.5 and computed as
+    floor(sqrt(share_ppb)) — IEEE-754 sqrt is correctly rounded, hence
+    bit-identical in any engine — and every other step is integer
+    arithmetic (DECIMAL(38,0) products, ``div`` quotients that fit
+    BIGINT). Per-source sampling rate in ppm::
+
+        share_ppb  = tokens_s * 10^9 div total_tokens
+        raw_s      = floor(sqrt(share_ppb))
+        weight_ppm = raw_s * 10^6 div sum(raw)
+        target_s   = epoch_tokens * weight_ppm div 10^6
+        rate_ppm   = min(target_s * 10^6 div tokens_s, max_copies*10^6)
+
+    A doc gets ``rate_ppm div 10^6`` guaranteed copies plus one more
+    iff ``h64(salt:id:copy) % 10^6 < rate_ppm % 10^6`` — the same
+    deterministic hash gate as stratified_sample, so epochs are
+    reproducible and a salt change is a fresh epoch.
+
+    Scale shape: ONE corpus shuffle (the per-source token aggregate);
+    the rate table is #sources rows (empty-frame windows post-
+    aggregate) broadcast back to the corpus — the emit side is a
+    map-side broadcast join + bounded explode (<= max_copies+1), zero
+    additional exchanges (plan-asserted).
+    """
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.size(F.split(F.col(text_col), " "))).cast("long").alias("tokens")
+    )
+    from pyspark.sql import Window
+
+    everything = Window.partitionBy()
+    rates = (
+        per.withColumn("__total", F.sum("tokens").over(everything))
+        .withColumn(
+            "__share_ppb",
+            F.expr(
+                "(CAST(tokens AS DECIMAL(38,0)) * 1000000000) div "
+                "CAST(__total AS DECIMAL(38,0))"
+            ),
+        )
+        .withColumn(
+            "__raw",
+            F.floor(F.sqrt(F.col("__share_ppb").cast("double"))).cast("long"),
+        )
+        .withColumn(
+            "__weight_ppm",
+            F.expr("(__raw * CAST(1000000 AS BIGINT)) div sum(__raw) OVER ()"),
+        )
+        .withColumn(
+            "__target",
+            F.expr(
+                f"(CAST({int(epoch_tokens)} AS DECIMAL(38,0)) * __weight_ppm) "
+                "div CAST(1000000 AS DECIMAL(38,0))"
+            ),
+        )
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.expr(
+                    "(CAST(__target AS DECIMAL(38,0)) * 1000000) div "
+                    "CAST(tokens AS DECIMAL(38,0))"
+                ),
+                F.lit(int(max_copies) * 1_000_000).cast("long"),
+            ),
+        )
+        .select("source", "rate_ppm")
+    )
+    gate = h64(
+        F.concat(
+            F.lit(f"{salt}:"),
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.col("copy").cast("string"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col), F.col(source_col).alias("source"))
+        .join(F.broadcast(rates), "source")
+        .withColumn(
+            "copy",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("rate_ppm") / 1_000_000).cast("long"))
+            ),
+        )
+        .filter(
+            (F.col("copy") < F.expr("rate_ppm div CAST(1000000 AS BIGINT)"))
+            | (gate % 1_000_000 < F.col("rate_ppm") % 1_000_000)
+        )
+        .select(
+            F.col(id_col),
+            "source",
+            F.col("copy").cast("long").alias("copy"),
+            F.col("rate_ppm").cast("long").alias("rate_ppm"),
+        )
+    )

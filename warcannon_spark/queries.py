@@ -2186,3 +2186,58 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return global_shuffle(docs, n_shards=16)
+
+
+@_q(
+    "mixture_epoch_sample",
+    f"""WITH per AS (
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT *, sum(tokens) OVER () AS total FROM per),
+sh AS (
+  SELECT *, CAST((CAST(tokens AS HUGEINT) * 1000000000) // total AS BIGINT)
+    AS share_ppb
+  FROM tot
+),
+rw AS (
+  SELECT *, CAST(floor(sqrt(CAST(share_ppb AS DOUBLE))) AS BIGINT) AS raw
+  FROM sh
+),
+wt AS (
+  SELECT *, CAST((raw * 1000000) // sum(raw) OVER () AS BIGINT) AS weight_ppm
+  FROM rw
+),
+rt AS (
+  SELECT source,
+         least(
+           CAST((CAST((CAST(20000 AS HUGEINT) * weight_ppm) // 1000000
+                 AS HUGEINT) * 1000000) // tokens AS BIGINT),
+           10000000) AS rate_ppm
+  FROM wt
+),
+base AS (
+  SELECT d.doc_id, r.source, r.rate_ppm
+  FROM documents d JOIN rt r ON d.source = r.source
+),
+ex AS (
+  SELECT doc_id, source, rate_ppm, CAST(t.copy AS BIGINT) AS copy
+  FROM base, unnest(range(0, rate_ppm // 1000000 + 1)) AS t(copy)
+)
+SELECT doc_id, source, copy, rate_ppm
+FROM ex
+WHERE copy < rate_ppm // 1000000
+   OR {h64_sql("'mix-v1:' || CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)")}
+      % 1000000 < rate_ppm % 1000000""",
+)
+def q_mixture_epoch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One training epoch materialized from temperature-scaled mixture
+    weights (operators/curation.mixture_epoch_sample, alpha = 0.5 via
+    IEEE-exact sqrt, epoch budget 20k tokens): every doc emitted with
+    an integer multiplicity — oversampled small sources get repeated
+    copies, big sources a fractional hash gate. Pure integer/sqrt
+    arithmetic so the DuckDB twin hash-matches row-for-row."""
+    from .operators.curation import mixture_epoch_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return mixture_epoch_sample(docs, epoch_tokens=20_000)
