@@ -302,6 +302,7 @@ def main() -> None:
         "lang_id",
         "token_counts",
         "char_lm_score",
+        "quality_classifier",
         "span_dedup",
         "pii_scrub",
         "dedup_ngram_jaccard",

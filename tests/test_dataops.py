@@ -787,3 +787,70 @@ def test_mixture_epoch_sample_max_copies_cap(spark):
     out = mixture_epoch_sample(docs, epoch_tokens=100_000, max_copies=5)
     tiny = [r for r in out.collect() if r.source == "tiny"]
     assert len(tiny) == 5 and {r.rate_ppm for r in tiny} == {5_000_000}
+
+
+def _qc_ref_score(text, seed="qc-v1", dim=4096):
+    """Python reference for hashed_linear_score's stand-in model."""
+    import hashlib
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    toks = text.split(" ")
+    feats = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+    score = 0
+    for f in feats:
+        b = h64(f"{seed}|b|{f}") % dim
+        score += h64(f"{seed}|w|{b}") % 2001 - 1000
+    return len(feats), score
+
+
+def test_hashed_linear_score_matches_reference(spark):
+    """Inline stand-in model == Python reference, feature-for-feature
+    (occurrence-weighted: the repeated token must count twice)."""
+    from warcannon_spark.operators.textstats import hashed_linear_score
+
+    texts = [
+        "the quick brown fox jumps",
+        "the the the",  # repeated features
+        "solo",  # no bigrams
+        "alpha beta gamma delta epsilon zeta",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in hashed_linear_score(docs).collect()}
+    for i, t in enumerate(texts):
+        n, s = _qc_ref_score(t)
+        assert (rows[i].n_feats, rows[i].score) == (n, s), (i, t)
+        assert rows[i].keep == (1 if s >= 0 else 0)
+
+
+def test_hashed_linear_score_weights_table_path_agrees(spark):
+    """The broadcast-weights path (real exported model artifact) must
+    score identically to the inline stand-in when fed the same vector."""
+    import hashlib
+
+    from warcannon_spark.operators.textstats import hashed_linear_score
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    dim = 256
+    weights = spark.createDataFrame(
+        [(b, h64(f"qc-v1|w|{b}") % 2001 - 1000) for b in range(dim)],
+        "bucket long, w long",
+    )
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma delta") for i in range(6)],
+        "doc_id long, text string",
+    )
+    inline = {
+        (r.doc_id, r.n_feats, r.score, r.keep)
+        for r in hashed_linear_score(docs, dim=dim).collect()
+    }
+    joined = {
+        (r.doc_id, r.n_feats, r.score, r.keep)
+        for r in hashed_linear_score(docs, dim=dim, weights=weights).collect()
+    }
+    assert inline == joined

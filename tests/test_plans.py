@@ -466,3 +466,25 @@ def test_mixture_epoch_sample_emit_side_is_map_only(spark):
     agg_pos = plan.find("HashAggregate")
     sp_pos = plan.find("Exchange SinglePartition")
     assert sp_pos != -1 and agg_pos != -1 and sp_pos < agg_pos, plan
+
+
+def test_quality_classifier_inline_is_pure_map(spark):
+    """r5 classifier scale shape: the stand-in-weights path is a single
+    map-side projection — no exchange, no join, no Python worker; the
+    broadcast-weights path shuffles only (id, bucket) rows once."""
+    from warcannon_spark.operators.textstats import hashed_linear_score
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(8)], "doc_id long, text string"
+    )
+    plan = plan_str(hashed_linear_score(docs))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+    weights = spark.createDataFrame(
+        [(b, 1) for b in range(64)], "bucket long, w long"
+    )
+    wplan = plan_str(hashed_linear_score(docs, dim=64, weights=weights))
+    assert "BroadcastHashJoin" in wplan, wplan
+    assert wplan.count("Exchange hashpartitioning") == 1, wplan

@@ -288,3 +288,82 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ip_n.cast("long").alias("n_ips"),
         phone_n.cast("long").alias("n_phones"),
     )
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    dim: int = 4096,
+    seed: str = "qc-v1",
+    bigrams: bool = True,
+    weights: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """FastText/DCLM-style hashed linear text-classifier INFERENCE — the
+    "apply a trained quality model to the whole corpus" step that sits
+    between heuristic filters and the final keep/drop decision. Features
+    are unigrams (+ optional bigrams) mapped by the hashing trick into a
+    ``dim``-sized weight vector; the score is the occurrence-weighted
+    sum of the gathered weights.
+
+    Two model paths:
+
+    * ``weights=None`` (default): a deterministic stand-in weight vector
+      ``w[b] = h64(seed|w|b) % 2001 - 1000`` computed INLINE as a native
+      expression — zero joins, zero shuffles, the whole scorer is one
+      map-side projection (``F.aggregate`` over the feature array; two
+      portable md5s per feature), and the DuckDB oracle reproduces it
+      bit-for-bit. The stand-in demonstrates the execution shape; the
+      arithmetic is identical once real weights are plugged in.
+    * ``weights`` given (``bucket, w`` rows, exactly the artifact a
+      trained fastText/logistic model exports): features explode and
+      gather weights through a BROADCAST equi-join (dim rows ≈ KBs-MBs,
+      always broadcastable), then one partial-aggregated per-doc sum —
+      the corpus itself never shuffles wider than (id, bucket) rows.
+
+    Output: (id, n_feats, score, keep) with integer score (weights are
+    integers in [-1000, 1000]) so cross-engine comparison is exact;
+    ``keep = 1`` iff score >= 0.
+    """
+    toks = F.split(F.col(text_col), " ")
+    feats = toks
+    if bigrams:
+        n = F.size(toks)
+        bi = F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        )
+        feats = F.concat(toks, bi)
+
+    def bucket_of(x):
+        return h64(F.concat(F.lit(f"{seed}|b|"), x)) % dim
+
+    base = docs.select(F.col(id_col), feats.alias("__feats"))
+    if weights is not None:
+        exploded = base.select(
+            id_col, F.explode("__feats").alias("__f")
+        ).select(id_col, bucket_of(F.col("__f")).alias("bucket"))
+        return (
+            exploded.join(F.broadcast(weights), "bucket")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_feats"),
+                F.sum("w").cast("long").alias("score"),
+            )
+            .withColumn("keep", (F.col("score") >= 0).cast("long"))
+        )
+
+    def w_of(x):
+        b = bucket_of(x)
+        return h64(F.concat(F.lit(f"{seed}|w|"), b.cast("string"))) % 2001 - 1000
+
+    return docs.select(
+        F.col(id_col),
+        F.size(feats).cast("long").alias("n_feats"),
+        F.aggregate(
+            feats,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + w_of(x),
+        ).alias("score"),
+    ).withColumn("keep", (F.col("score") >= 0).cast("long"))

@@ -2241,3 +2241,42 @@ def q_mixture_epoch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     return mixture_epoch_sample(docs, epoch_tokens=20_000)
+
+
+@_q(
+    "quality_classifier",
+    f"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+fx AS (
+  SELECT doc_id, u.f
+  FROM toks, unnest(list_concat(
+    t, list_transform(range(1, len(t)), i -> t[i] || '_' || t[i + 1])
+  )) AS u(f)
+),
+bx AS (
+  SELECT doc_id, {h64_sql("'qc-v1|b|' || f")} % 4096 AS b FROM fx
+),
+wx AS (
+  SELECT doc_id,
+         {h64_sql("'qc-v1|w|' || CAST(b AS VARCHAR)")} % 2001 - 1000 AS w
+  FROM bx
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       CAST(sum(w) AS BIGINT) AS score,
+       CAST(CASE WHEN sum(w) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM wx GROUP BY doc_id""",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText/DCLM-style hashed linear quality-classifier inference
+    (operators/textstats.hashed_linear_score): unigram+bigram features
+    hashed into a 4096-dim weight vector, occurrence-weighted integer
+    score, keep = score >= 0. The default stand-in weights compute
+    inline as native expressions — the whole scorer is ONE map-side
+    projection, zero shuffles/joins (plan-asserted); the broadcast-join
+    path for real exported weights is pytest-pinned equal."""
+    from .operators.textstats import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return hashed_linear_score(docs)
+
