@@ -303,6 +303,8 @@ def main() -> None:
         "token_counts",
         "char_lm_score",
         "quality_classifier",
+        "html_text_extract",
+        "html_outlink_hosts",
         "span_dedup",
         "pii_scrub",
         "dedup_ngram_jaccard",

@@ -1,0 +1,97 @@
+"""WET-style HTML extraction (operators/html.py): unit semantics over
+hand-built markup, resolution rules for outlinks, and the 100-TB plan
+shapes (extraction = pure map, outlinks = one partial-agged exchange)."""
+
+from __future__ import annotations
+
+from tests.test_plans import plan_str
+
+
+def _extract_one(spark, html: str):
+    from warcannon_spark.operators.html import html_extract
+
+    df = spark.createDataFrame([("u", html)], "url string, html string")
+    return html_extract(df).collect()[0]
+
+
+def test_html_extract_strips_blocks_and_tags(spark):
+    r = _extract_one(
+        spark,
+        '<html><head><title> My  Title </title>'
+        "<style>p { color: red; }</style>"
+        '<script>document.write("SCRIPTNOISE"); var x = 1 < 2;</script>'
+        "</head><body>\n<h1>Head</h1>\n"
+        "<!-- <p>COMMENTNOISE</p> -->"
+        "<p>one\ntwo</p><b>bold</b>text</body></html>",
+    )
+    assert r.title == "My Title"
+    assert r.text == "Head one two bold text"
+    assert "SCRIPTNOISE" not in r.text and "COMMENTNOISE" not in r.text
+    assert r.n_chars == len(r.text)
+
+
+def test_html_extract_entities_decode_after_strip(spark):
+    # &lt;p&gt; must surface as literal "<p>" text, not be re-stripped;
+    # &amp;lt; decodes single-pass to "&lt;" (amp last), never to "<".
+    r = _extract_one(
+        spark, "<body><p>&lt;p&gt; &quot;q&quot; &#39;s&nbsp;&amp;lt;</p></body>"
+    )
+    assert r.text == "<p> \"q\" 's &lt;"
+
+
+def test_html_extract_no_title_and_unclosed_script(spark):
+    r = _extract_one(spark, "<body><p>plain</p></body>")
+    assert r.title == "" and r.text == "plain"
+    # script block swallows markup inside it even with attributes
+    r2 = _extract_one(
+        spark,
+        '<script type="a" async>if (a<b) { x("</p>"); }</script><p>kept</p>',
+    )
+    assert r2.text == "kept"
+
+
+def test_outlink_resolution_rules(spark):
+    from warcannon_spark.operators.html import extract_outlinks
+
+    html = (
+        '<a href="https://a.example/x">1</a>'
+        '<a href="http://b.example/y">2</a>'
+        '<a href="//c.example/z">3</a>'
+        '<a href="/local">4</a>'
+        '<a href="mailto:x@y">5</a>'
+        '<a href="rel/path">6</a>'
+        '<a href="https://a.example/other">7</a>'
+    )
+    df = spark.createDataFrame(
+        [("https://me.example/p", "me.example", html)],
+        "url string, host string, html string",
+    )
+    out = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in extract_outlinks(df).collect()
+    }
+    assert out == {
+        ("me.example", "a.example"): 2,
+        ("me.example", "b.example"): 1,
+        ("me.example", "c.example"): 1,
+        ("me.example", "me.example"): 1,
+    }
+
+
+def test_html_extract_plan_is_pure_map(spark, sf_dir):
+    from warcannon_spark.operators.html import html_extract
+    from warcannon_spark.sources.htmlpages import html_pages_df
+
+    plan = plan_str(html_extract(html_pages_df(spark, sf_dir)))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_outlinks_plan_single_partial_agged_exchange(spark, sf_dir):
+    from warcannon_spark.operators.html import extract_outlinks
+    from warcannon_spark.sources.htmlpages import html_pages_df
+
+    plan = plan_str(extract_outlinks(html_pages_df(spark, sf_dir)))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # partial aggregation runs map-side, before the exchange
+    assert plan.index("HashAggregate") < plan.index("Exchange"), plan

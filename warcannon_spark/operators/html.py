@@ -1,0 +1,184 @@
+"""WET-style HTML→text extraction and outlink extraction — the step the
+reference applies implicitly by regex-matching raw WARC payloads
+(matches.js patterns target script/href markup verbatim) and that every
+webtext training pipeline (CCNet / C4 / RefinedWeb / FineWeb) runs first:
+strip markup, keep the prose, harvest the link graph.
+
+All pure native Column expressions — zero Python, zero shuffles for the
+extraction itself — and every regex is drawn from the Java∩RE2 subset
+(inline ``(?is)`` flags, lazy quantifiers, explicit ``[ \\t\\r\\n]``
+whitespace classes instead of the engine-divergent ``\\s``) so the DuckDB
+oracle reproduces the extraction byte-for-byte.
+
+Extraction order (the invariants real extractors get wrong):
+  1. comments out first (a comment may wrap markup),
+  2. script/style blocks out as BLOCKS (their text is not prose),
+  3. every remaining tag → a space (tags never glue words together),
+  4. entities decoded AFTER tag-strip (``&lt;p&gt;`` must surface as the
+     literal text ``<p>``, not get re-stripped), ``&amp;`` decoded LAST
+     (single-pass: ``&amp;lt;`` → ``&lt;``, not ``<``),
+  5. whitespace runs collapse to one space, ends trimmed.
+
+At 100 TB: a per-row projection with no exchange — the plan fans out with
+the scan partitioning, whole-stage-codegen end to end (plan-asserted).
+Outlink harvesting adds one explode (rows × ~links-per-page) and a single
+partial-aggregated shuffle on (src_host, dst_host).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+COMMENT_RE = "(?s)<!--.*?-->"
+SCRIPT_RE = "(?is)<script\\b[^>]*>.*?</script[ \\t\\r\\n]*>"
+STYLE_RE = "(?is)<style\\b[^>]*>.*?</style[ \\t\\r\\n]*>"
+TITLE_RE = "(?is)<title[^>]*>(.*?)</title>"
+TAG_RE = "<[^>]*>"
+WS_RE = "[ \\t\\r\\n]+"
+HREF_RE = 'href="([^"]*)"'
+
+# Decode order is load-bearing: &amp; strictly last (see module doc §4).
+ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def _decode_entities(col: Column) -> Column:
+    for src, dst in ENTITIES:
+        col = F.replace(col, F.lit(src), F.lit(dst))
+    return col
+
+
+def _clean(col: Column) -> Column:
+    return F.trim(F.regexp_replace(col, WS_RE, " "))
+
+
+def html_extract(
+    pages: DataFrame, html_col: str = "html", keep: tuple[str, ...] = ("url",)
+) -> DataFrame:
+    """(keep…, title, text, n_chars) — the WET record for each page.
+
+    ``title`` is the entity-decoded, whitespace-normalized <title> content
+    ('' when the page has none); ``text`` is the boilerplate-stripped body
+    prose. One map-side projection, no exchange.
+    """
+    html = F.col(html_col)
+    no_comment = F.regexp_replace(html, COMMENT_RE, " ")
+    no_block = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(no_comment, SCRIPT_RE, " "), STYLE_RE, " "
+        ),
+        TITLE_RE,  # title is metadata (own column), not body prose
+        " ",
+    )
+    text = _clean(
+        _decode_entities(F.regexp_replace(no_block, TAG_RE, " "))
+    )
+    title = _clean(
+        _decode_entities(F.regexp_extract(no_comment, TITLE_RE, 1))
+    )
+    return pages.select(
+        *keep,
+        title.alias("title"),
+        text.alias("text"),
+        F.length(text).cast("long").alias("n_chars"),
+    )
+
+
+def html_extract_sql(html_expr: str, keep_sql: str, from_sql: str) -> str:
+    """DuckDB twin of :func:`html_extract` over ``html_expr``, built from
+    the same pattern/entity constants. DuckDB regexp_replace needs the
+    explicit ``'g'`` option (engine default is first-match-only; Spark's
+    is global) — flags stay inline in the shared pattern strings."""
+
+    def decode(e: str) -> str:
+        for src, dst in ENTITIES:
+            dst_sql = dst.replace("'", "''")
+            e = f"replace({e}, '{src}', '{dst_sql}')"
+        return e
+
+    def clean(e: str) -> str:
+        return f"trim(regexp_replace({e}, '{WS_RE}', ' ', 'g'))"
+
+    no_comment = f"regexp_replace({html_expr}, '{COMMENT_RE}', ' ', 'g')"
+    no_block = (
+        f"regexp_replace(regexp_replace(regexp_replace({no_comment},"
+        f" '{SCRIPT_RE}', ' ', 'g'), '{STYLE_RE}', ' ', 'g'),"
+        f" '{TITLE_RE}', ' ', 'g')"
+    )
+    text = clean(decode(f"regexp_replace({no_block}, '{TAG_RE}', ' ', 'g')"))
+    title = clean(decode(f"regexp_extract({no_comment}, '{TITLE_RE}', 1)"))
+    return f"""SELECT {keep_sql},
+       {title} AS title,
+       {text} AS text,
+       CAST(length({text}) AS BIGINT) AS n_chars
+{from_sql}"""
+
+
+def extract_outlinks(
+    pages: DataFrame, html_col: str = "html", host_col: str = "host"
+) -> DataFrame:
+    """Host-graph edges (src_host, dst_host, n_links) from page hrefs.
+
+    Resolution keeps the deterministic subset every engine agrees on:
+    absolute http(s) as-is, protocol-relative ``//…`` → https, root-
+    relative ``/…`` joined to the page host; everything else (mailto,
+    fragments, path-relative) is dropped. The corpus never shuffles —
+    only the exploded (src_host, dst_host) pairs do, partial-aggregated.
+    """
+    href = F.col("__href")
+    src = F.col("src_host")
+    resolved = (
+        F.when(
+            href.startswith("http://") | href.startswith("https://"), href
+        )
+        .when(href.startswith("//"), F.concat(F.lit("https:"), href))
+        .when(href.startswith("/"), F.concat(F.lit("https://"), src, href))
+    )
+    return (
+        pages.select(
+            F.col(host_col).alias("src_host"),
+            F.explode(F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), 1))
+            .alias("__href"),
+        )
+        .select(
+            "src_host",
+            F.regexp_extract(resolved, "^https?://([^/]+)", 1).alias(
+                "dst_host"
+            ),
+        )
+        .where(F.col("dst_host") != "")
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )
+
+
+def extract_outlinks_sql(pages_cte: str) -> str:
+    """DuckDB twin of :func:`extract_outlinks`; ``pages_cte`` is a CTE
+    body (``name AS (…)``) defining an ``html_pages`` relation."""
+    return f"""WITH {pages_cte},
+hrefs AS (
+  SELECT host AS src_host,
+         unnest(regexp_extract_all(html, '{HREF_RE}', 1)) AS href
+  FROM html_pages
+),
+resolved AS (
+  SELECT src_host,
+         regexp_extract(
+           CASE
+             WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+             WHEN href LIKE '//%' THEN 'https:' || href
+             WHEN href LIKE '/%' THEN 'https://' || src_host || href
+             ELSE ''
+           END, '^https?://([^/]+)', 1) AS dst_host
+  FROM hrefs
+)
+SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+FROM resolved WHERE dst_host <> ''
+GROUP BY src_host, dst_host"""

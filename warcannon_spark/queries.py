@@ -2280,3 +2280,48 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return hashed_linear_score(docs)
 
+def _html_pages_oracle_extract() -> str:
+    from .operators.html import html_extract_sql
+    from .sources.htmlpages import HTML_PAGES_CTE
+
+    return (
+        f"WITH {HTML_PAGES_CTE.strip()}\n"
+        + html_extract_sql("html", "url", "FROM html_pages")
+    )
+
+
+@_q("html_text_extract", _html_pages_oracle_extract())
+def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET derivation (operators/html.html_extract): raw page markup →
+    (url, title, text, n_chars) — comments out, script/style blocks out,
+    tags → spaces, entities decoded after strip (&amp; last), whitespace
+    collapsed. The whole extraction is ONE map-side native-regexp
+    projection, zero shuffles (plan-asserted); patterns live in the
+    Java∩RE2 subset so DuckDB reproduces it byte-for-byte. Reference:
+    warcannon matches raw WARC payload markup (worker/matches.js) — this
+    is the text layer a training pipeline derives from the same bytes."""
+    from .operators.html import html_extract
+    from .sources.htmlpages import html_pages_df
+
+    return html_extract(html_pages_df(spark, sf_dir), keep=("url",))
+
+
+def _html_outlinks_oracle() -> str:
+    from .operators.html import extract_outlinks_sql
+    from .sources.htmlpages import HTML_PAGES_CTE
+
+    return extract_outlinks_sql(HTML_PAGES_CTE.strip())
+
+
+@_q("html_outlink_hosts", _html_outlinks_oracle())
+def q_html_outlink_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host link-graph harvest (operators/html.extract_outlinks): hrefs
+    from raw markup, resolved deterministically (absolute kept,
+    protocol-relative → https, root-relative joined to page host,
+    mailto/path-relative dropped) → (src_host, dst_host, n_links).
+    Feeds host_pagerank with edges from real markup. Only the exploded
+    (src, dst) pairs shuffle — one partial-aggregated exchange."""
+    from .operators.html import extract_outlinks
+    from .sources.htmlpages import html_pages_df
+
+    return extract_outlinks(html_pages_df(spark, sf_dir))

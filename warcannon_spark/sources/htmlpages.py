@@ -1,0 +1,142 @@
+"""Deterministic synthetic ``html_pages`` corpus — raw-HTML twin of
+``sources/pages.py``.
+
+The WET-extraction operators (``operators/html.py``) need RAW page markup
+(the reference consumes WARC response payloads, which are HTML — e.g. the
+matcher regexes in ``matches.js`` target script/href content verbatim).
+The sandbox has no crawl corpus, so HTML is derived DETERMINISTICALLY from
+the driver-provided ``documents`` parquet by pure string expressions,
+written twice — Spark DataFrame ops and a DuckDB CTE — so every extraction
+query has an exact SQL oracle.
+
+Planted structure (residues of doc_id) exercises every extraction rule:
+  * ``d % 5 != 0``  → a ``<title>`` carrying an ``&amp;`` entity
+    (pages with ``d % 5 == 0`` have NO title tag — the empty-title path).
+  * every page      → a ``<style>`` block and a ``<script>`` block whose
+    body contains text (``SCRIPTNOISE``) and a bare ``<`` — extraction
+    must drop both BEFORE tag-stripping.
+  * ``d % 7 == 0``  → an HTML comment wrapping fake markup
+    (``COMMENTNOISE``) — comment-stripping must run first.
+  * every page      → an entity paragraph (&lt; &gt; &quot; &#39; &nbsp;
+    &amp;) decoded AFTER tag-strip, &amp; last (single-pass order).
+  * links: one absolute href always; root-relative at ``d % 4 == 1``;
+    protocol-relative at ``d % 6 == 2``; a mailto (must be dropped) at
+    ``d % 11 == 3``.
+
+At real scale this table is the WARC response payload column
+(``sources/warc.py``) or an Iceberg table of fetched bodies; everything
+downstream assumes only columns (url, host, html).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def html_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of the derivation (exact twin of HTML_PAGES_CTE)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    hid = F.when(d % 3 == 0, F.lit(0)).otherwise(d % 37).cast("string")
+    ds = d.cast("string")
+    nl = F.lit("\n")
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            d % 5 != 0,
+            F.concat(
+                F.lit("<title>Doc "), ds, F.lit(" &amp; h"), hid,
+                F.lit("</title>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("<style>body { color: #333; }</style>"),
+        F.lit(
+            '<script type="text/javascript">document.write("SCRIPTNOISE");'
+            " var x = 1 < 2;</script>"
+        ),
+        F.lit("</head>"), nl, F.lit("<body>"), nl,
+        F.lit("<h1>Doc "), ds, F.lit("</h1>"), nl,
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.lit("<!-- <p>COMMENTNOISE "), ds, F.lit("</p> -->"), nl
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"), nl,
+        F.lit(
+            "<p>Entities &lt;tag&gt; &quot;q&quot; &#39;s&nbsp;and &amp;"
+            " done.</p>"
+        ), nl,
+        F.lit('<a href="https://h'), (d % 37).cast("string"),
+        F.lit('.example/out/'), (d % 11).cast("string"), F.lit('">abs</a>'),
+        nl,
+        F.when(
+            d % 4 == 1,
+            F.concat(
+                F.lit('<a href="/r/'), (d % 13).cast("string"),
+                F.lit('">rel</a>'), nl,
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 6 == 2,
+            F.concat(
+                F.lit('<a href="//h'), ((d + 1) % 37).cast("string"),
+                F.lit('.example/pp">pr</a>'), nl,
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 11 == 3,
+            F.concat(F.lit('<a href="mailto:x@example.com">mail</a>'), nl),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return docs.select(
+        F.concat(
+            F.lit("https://h"), hid, F.lit(".example/p/"), ds
+        ).alias("url"),
+        F.concat(F.lit("h"), hid, F.lit(".example")).alias("host"),
+        d.alias("doc_id"),
+        html.alias("html"),
+    )
+
+
+# DuckDB twin of html_pages_df. `documents` is a pre-registered view.
+# chr(10) keeps the newline placement byte-identical to the Spark side.
+HTML_PAGES_CTE = """
+html_pages AS (
+  SELECT
+    'https://h' || hid || '.example/p/' || ds AS url,
+    'h' || hid || '.example' AS host,
+    doc_id,
+    '<html><head>'
+      || CASE WHEN doc_id % 5 <> 0
+              THEN '<title>Doc ' || ds || ' &amp; h' || hid || '</title>'
+              ELSE '' END
+      || '<style>body { color: #333; }</style>'
+      || '<script type="text/javascript">document.write("SCRIPTNOISE"); var x = 1 < 2;</script>'
+      || '</head>' || chr(10) || '<body>' || chr(10)
+      || '<h1>Doc ' || ds || '</h1>' || chr(10)
+      || CASE WHEN doc_id % 7 = 0
+              THEN '<!-- <p>COMMENTNOISE ' || ds || '</p> -->' || chr(10)
+              ELSE '' END
+      || '<p>' || text || '</p>' || chr(10)
+      || '<p>Entities &lt;tag&gt; &quot;q&quot; &#39;s&nbsp;and &amp; done.</p>' || chr(10)
+      || '<a href="https://h' || CAST(doc_id % 37 AS VARCHAR)
+      || '.example/out/' || CAST(doc_id % 11 AS VARCHAR) || '">abs</a>' || chr(10)
+      || CASE WHEN doc_id % 4 = 1
+              THEN '<a href="/r/' || CAST(doc_id % 13 AS VARCHAR) || '">rel</a>' || chr(10)
+              ELSE '' END
+      || CASE WHEN doc_id % 6 = 2
+              THEN '<a href="//h' || CAST((doc_id + 1) % 37 AS VARCHAR) || '.example/pp">pr</a>' || chr(10)
+              ELSE '' END
+      || CASE WHEN doc_id % 11 = 3
+              THEN '<a href="mailto:x@example.com">mail</a>' || chr(10)
+              ELSE '' END
+      || '</body></html>' AS html
+  FROM (
+    SELECT doc_id, text, CAST(doc_id AS VARCHAR) AS ds,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 37 END AS VARCHAR) AS hid
+    FROM documents
+  )
+)"""
