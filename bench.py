@@ -305,6 +305,7 @@ def main() -> None:
         "quality_classifier",
         "html_text_extract",
         "html_outlink_hosts",
+        "wet_quality_corpus",
         "span_dedup",
         "pii_scrub",
         "dedup_ngram_jaccard",

@@ -488,3 +488,15 @@ def test_quality_classifier_inline_is_pure_map(spark):
     wplan = plan_str(hashed_linear_score(docs, dim=64, weights=weights))
     assert "BroadcastHashJoin" in wplan, wplan
     assert wplan.count("Exchange hashpartitioning") == 1, wplan
+
+
+def test_wet_quality_corpus_fused_plan_is_pure_map(spark, sf_dir):
+    """The composed raw-markup -> WET -> lang-ID -> classifier -> gates
+    pipeline must stay ONE fused map stage: no exchange, no join, no
+    Python worker anywhere in the plan."""
+    from warcannon_spark.queries import QUERIES
+
+    plan = plan_str(QUERIES["wet_quality_corpus"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

@@ -34,15 +34,10 @@ def lang_id(docs: DataFrame) -> DataFrame:
         _marker_count(toks, LANG_MARKERS["es"]).alias("s_es"),
         _marker_count(toks, LANG_MARKERS["de"]).alias("s_de"),
     )
-    pred = (
-        F.when(
-            (F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de")),
-            F.lit("en"),
-        )
-        .when(F.col("s_es") >= F.col("s_de"), F.lit("es"))
-        .otherwise(F.lit("de"))
+    return scored.withColumn(
+        "pred_lang",
+        lang_pred_col(F.col("s_en"), F.col("s_es"), F.col("s_de")),
     )
-    return scored.withColumn("pred_lang", pred)
 
 
 def quality_stats(docs: DataFrame) -> DataFrame:
@@ -325,16 +320,7 @@ def hashed_linear_score(
     integers in [-1000, 1000]) so cross-engine comparison is exact;
     ``keep = 1`` iff score >= 0.
     """
-    toks = F.split(F.col(text_col), " ")
-    feats = toks
-    if bigrams:
-        n = F.size(toks)
-        bi = F.zip_with(
-            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
-            lambda a, b: F.concat(a, F.lit("_"), b),
-        )
-        feats = F.concat(toks, bi)
+    feats = _feature_array(text_col, bigrams)
 
     def bucket_of(x):
         return h64(F.concat(F.lit(f"{seed}|b|"), x)) % dim
@@ -354,16 +340,55 @@ def hashed_linear_score(
             .withColumn("keep", (F.col("score") >= 0).cast("long"))
         )
 
-    def w_of(x):
-        b = bucket_of(x)
-        return h64(F.concat(F.lit(f"{seed}|w|"), b.cast("string"))) % 2001 - 1000
-
+    n_feats, score = linear_score_cols(text_col, dim, seed, bigrams)
     return docs.select(
         F.col(id_col),
-        F.size(feats).cast("long").alias("n_feats"),
-        F.aggregate(
-            feats,
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + w_of(x),
-        ).alias("score"),
+        n_feats.alias("n_feats"),
+        score.alias("score"),
     ).withColumn("keep", (F.col("score") >= 0).cast("long"))
+
+
+def _feature_array(text_col: str, bigrams: bool):
+    """Unigram (+bigram) feature array of the hashing-trick classifier."""
+    toks = F.split(F.col(text_col), " ")
+    if not bigrams:
+        return toks
+    n = F.size(toks)
+    bi = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit("_"), b),
+    )
+    return F.concat(toks, bi)
+
+
+def linear_score_cols(
+    text_col: str = "text",
+    dim: int = 4096,
+    seed: str = "qc-v1",
+    bigrams: bool = True,
+):
+    """(n_feats, score) Columns of the stand-in-weights classifier —
+    the column-level form of :func:`hashed_linear_score`'s inline path,
+    for composed single-plan pipelines (e.g. queries.wet_quality_corpus)
+    that fuse extraction + scoring without a join."""
+    feats = _feature_array(text_col, bigrams)
+
+    def w_of(x):
+        b = h64(F.concat(F.lit(f"{seed}|b|"), x)) % dim
+        return h64(F.concat(F.lit(f"{seed}|w|"), b.cast("string"))) % 2001 - 1000
+
+    score = F.aggregate(
+        feats, F.lit(0).cast("long"), lambda acc, x: acc + w_of(x)
+    )
+    return F.size(feats).cast("long"), score
+
+
+def lang_pred_col(s_en, s_es, s_de):
+    """Argmax with the fixed en > es > de tie-break — shared by lang_id
+    and composed pipelines that inline the marker scores."""
+    return (
+        F.when((s_en >= s_es) & (s_en >= s_de), F.lit("en"))
+        .when(s_es >= s_de, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )

@@ -2325,3 +2325,75 @@ def q_html_outlink_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.htmlpages import html_pages_df
 
     return extract_outlinks(html_pages_df(spark, sf_dir))
+
+
+def _wet_quality_corpus_oracle() -> str:
+    from .operators.html import html_extract_sql
+    from .sources.htmlpages import HTML_PAGES_CTE
+
+    wet = html_extract_sql("html", "url", "FROM html_pages")
+    b_expr = f"{h64_sql(chr(39) + 'qc-v1|b|' + chr(39) + ' || x')} % 4096"
+    w_expr = (
+        h64_sql(f"'qc-v1|w|' || CAST(({b_expr}) AS VARCHAR)") + " % 2001 - 1000"
+    )
+    return f"""WITH {HTML_PAGES_CTE.strip()},
+wet AS (
+{wet}
+),
+tok AS (
+  SELECT url, n_chars, text, string_split(text, ' ') AS t FROM wet
+),
+feat AS (
+  SELECT url, n_chars, CAST(len(t) AS BIGINT) AS n_tokens, t,
+         list_concat(t, list_transform(range(1, len(t)), i -> t[i] || '_' || t[i + 1])) AS f
+  FROM tok
+),
+scored AS (
+  SELECT url, n_chars, n_tokens,
+         CAST(len(list_filter(t, y -> y IN ('the','and','of'))) AS BIGINT) AS s_en,
+         CAST(len(list_filter(t, y -> y IN ('el','la','los'))) AS BIGINT) AS s_es,
+         CAST(len(list_filter(t, y -> y IN ('der','und','das'))) AS BIGINT) AS s_de,
+         CAST(list_sum(list_transform(f, x -> {w_expr})) AS BIGINT) AS score
+  FROM feat
+)
+SELECT url,
+       CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+            WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang,
+       score, n_chars, n_tokens
+FROM scored
+WHERE score >= 0 AND n_chars >= 200 AND n_tokens >= 20"""
+
+
+@_q("wet_quality_corpus", _wet_quality_corpus_oracle())
+def q_wet_quality_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship curation user story in ONE fused plan: raw crawl
+    markup → WET extraction → language ID → hashed-linear classifier →
+    length/token/keep gates → training-corpus rows. Every stage is a
+    native per-row expression over the SAME projection — composed via
+    the column-level builders (html_extract, lang_pred_col,
+    linear_score_cols) — so the whole pipeline has ZERO exchanges and
+    no Python workers (plan-asserted): at 100 TB it fans out with the
+    scan partitioning, one pass over the bytes, filters fused into the
+    scan stage by Catalyst."""
+    from .operators.html import html_extract
+    from .operators.textstats import (
+        LANG_MARKERS,
+        _marker_count,
+        lang_pred_col,
+        linear_score_cols,
+    )
+    from .sources.htmlpages import html_pages_df
+
+    wet = html_extract(html_pages_df(spark, sf_dir), keep=("url",))
+    toks = F.split(F.col("text"), " ")
+    s = {k: _marker_count(toks, m) for k, m in LANG_MARKERS.items()}
+    _, score = linear_score_cols()
+    return wet.select(
+        "url",
+        lang_pred_col(s["en"], s["es"], s["de"]).alias("pred_lang"),
+        score.alias("score"),
+        F.col("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).where(
+        (F.col("score") >= 0) & (F.col("n_chars") >= 200) & (F.col("n_tokens") >= 20)
+    )
