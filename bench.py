@@ -306,6 +306,7 @@ def main() -> None:
         "html_text_extract",
         "html_outlink_hosts",
         "wet_quality_corpus",
+        "wet_export_roundtrip",
         "span_dedup",
         "pii_scrub",
         "dedup_ngram_jaccard",

@@ -1,0 +1,96 @@
+"""WET export sink + reader (sources/wet.py): byte-lossless round-trip,
+conversion-record filtering, manifest accounting, empty-partition
+behavior. The corpus-scale round-trip is oracle-pinned by the
+wet_export_roundtrip query; these pin the record-level semantics."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+
+
+def test_wet_roundtrip_unicode_and_empty_text(spark, tmp_path):
+    from warcannon_spark.sources.wet import read_wet_pages, write_wet_export
+
+    rows = [
+        ("https://a.example/1", "héllo wörld é中文"),
+        ("https://a.example/2", ""),  # zero-length content block
+        ("https://a.example/3", "plain\nwith\nnewlines"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = str(tmp_path / "wet")
+    manifest = write_wet_export(df.repartition(2), out).collect()
+    assert sum(m.n_records for m in manifest) == 3
+    for m in manifest:
+        assert os.path.getsize(m.path) == m.n_bytes
+    back = {
+        (r.url, r.text) for r in read_wet_pages(spark, out).collect()
+    }
+    assert back == set(rows)
+    # fixed deterministic WARC-Date parses into the timestamp column
+    ts = {r.warc_ts for r in read_wet_pages(spark, out).collect()}
+    assert len(ts) == 1 and next(iter(ts)).year == 2024
+
+
+def test_wet_reader_keeps_only_conversion_records(spark, tmp_path):
+    """A mixed WARC (response + conversion members) yields only the
+    conversion records — the WET reader must not surface raw pages."""
+    from warcannon_spark.sources.warc import warc_record_bytes
+    from warcannon_spark.sources.wet import read_wet_pages, wet_record_bytes
+
+    path = str(tmp_path / "mixed.warc.wet.gz")
+    with open(path, "wb") as f:
+        f.write(
+            gzip.compress(
+                warc_record_bytes(
+                    "https://raw.example/x", "2024-01-01T00:00:00Z", b"<p>raw</p>"
+                )
+            )
+        )
+        f.write(
+            gzip.compress(
+                wet_record_bytes(
+                    "https://wet.example/y", "2024-01-01T00:00:00Z", "extracted"
+                )
+            )
+        )
+    rows = read_wet_pages(spark, path).collect()
+    assert [(r.url, r.text) for r in rows] == [
+        ("https://wet.example/y", "extracted")
+    ]
+
+
+def test_wet_sink_skips_empty_partitions(spark, tmp_path):
+    from warcannon_spark.sources.wet import write_wet_export
+
+    df = spark.createDataFrame(
+        [("https://a.example/1", "t")], "url string, text string"
+    )
+    out = str(tmp_path / "wet")
+    manifest = write_wet_export(df.repartition(8), out).collect()
+    # 1 row in 8 partitions -> exactly one file, no empties on disk
+    assert len(manifest) == 1
+    assert len(glob.glob(f"{out}/*.warc.wet.gz")) == 1
+
+
+def test_wet_members_are_splittable_per_record(spark, tmp_path):
+    """One gzip member per record (the Common Crawl convention): each
+    member must independently decompress to exactly one record."""
+    from warcannon_spark.sources.warc import iter_warc_records
+    from warcannon_spark.sources.wet import write_wet_export
+
+    df = spark.createDataFrame(
+        [(f"https://a.example/{i}", f"text {i}") for i in range(5)],
+        "url string, text string",
+    )
+    out = str(tmp_path / "wet")
+    write_wet_export(df.coalesce(1), out).collect()
+    [path] = glob.glob(f"{out}/*.warc.wet.gz")
+    raw = open(path, "rb").read()
+    # split on gzip magic; each piece is a full member
+    starts = [i for i in range(len(raw)) if raw[i : i + 2] == b"\x1f\x8b"]
+    assert len(starts) == 5
+    piece = raw[starts[2] : starts[3]]
+    recs = list(iter_warc_records(gzip.decompress(piece)))
+    assert len(recs) == 1 and recs[0][0]["warc-type"] == "conversion"

@@ -2397,3 +2397,34 @@ def q_wet_quality_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(
         (F.col("score") >= 0) & (F.col("n_chars") >= 200) & (F.col("n_tokens") >= 20)
     )
+
+
+def _wet_roundtrip_oracle() -> str:
+    from .operators.html import html_extract_sql
+    from .sources.htmlpages import HTML_PAGES_CTE
+
+    wet = html_extract_sql("html", "url", "FROM html_pages")
+    return f"""WITH {HTML_PAGES_CTE.strip()},
+wet AS (
+{wet}
+)
+SELECT url, text, n_chars FROM wet"""
+
+
+@_q("wet_export_roundtrip", _wet_roundtrip_oracle())
+def q_wet_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET interchange round-trip (sources/wet.py): the html_pages
+    extraction is serialized through the DISTRIBUTED WET sink (per-task
+    .warc.wet.gz, one gzip member per ISO 28500 conversion record, no
+    driver collect) and read back through the constant-memory record
+    scanner. The oracle is the DuckDB twin of the EXTRACTION — so a
+    hash match proves the sink + reader are byte-lossless, the same
+    evidence shape as warc_ingest. Common Crawl parity: this is the
+    wet/ layer the reference's corpus ships alongside the raw WARCs."""
+    from .sources.wet import read_wet_pages, wet_fixture_dir
+
+    path = wet_fixture_dir(spark, sf_dir)
+    pages = read_wet_pages(spark, f"{path}/*.warc.wet.gz")
+    return pages.select(
+        "url", "text", F.length("text").cast("long").alias("n_chars")
+    )

@@ -1,0 +1,177 @@
+"""WET export sink + reader — the extracted-text twin of the WARC path.
+
+Common Crawl publishes the text layer of every crawl as WET files
+(``crawl-data/<crawl>/segments/*/wet/*.warc.wet.gz``): ISO 28500
+``conversion`` records whose content block is the extracted plain text.
+The reference consumes the raw WARC side; a training pipeline EXPORTS
+this layer after extraction (``operators/html.html_extract``). This
+module provides both directions so the corpus round-trips through the
+standard interchange format:
+
+* :func:`write_wet_export` — a DISTRIBUTED sink: each task serializes
+  its partition into one ``.warc.wet.gz`` (one gzip member per record,
+  the Common Crawl member-per-record convention, so readers can split
+  and seek) under ``out_dir`` and emits a manifest row (path,
+  n_records, n_bytes). No driver collect, no shuffle: file count =
+  partition count, controlled by the caller's ``repartition``.
+* :func:`read_wet_pages` — binaryFile path scan → the same chunked
+  multi-member gunzip + incremental record scanner as the WARC reader
+  (O(record + chunk) task memory), keeping ``WARC-Type: conversion``
+  records.
+
+Round-trip byte-exactness is oracle-pinned: the ``wet_export_roundtrip``
+query writes the WET fixture, reads it back, and hash-matches the DuckDB
+twin of the EXTRACTION — any loss in the sink or the reader breaks the
+hash.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .warc import (
+    _CRLF2,
+    _ROWS_PER_FRAME,
+    _open_input,
+    iter_warc_records_stream,
+)
+
+WET_PAGES_SCHEMA = "url string, warc_ts timestamp, text string"
+WET_MANIFEST_SCHEMA = "path string, n_records long, n_bytes long"
+
+_FIXED_DATE = "2024-01-01T00:00:00Z"
+
+
+def wet_record_bytes(url: str, warc_date: str, text: str) -> bytes:
+    """One ISO 28500 conversion record (version line, CRLF headers,
+    Content-Length-delimited block, CRLF CRLF separator)."""
+    payload = text.encode("utf-8")
+    header = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {warc_date}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    return header + payload + _CRLF2
+
+
+def write_wet_export(
+    df: DataFrame, out_dir: str, date: str = _FIXED_DATE
+) -> DataFrame:
+    """Serialize (url, text) rows into per-partition ``.warc.wet.gz``
+    files under ``out_dir``; returns the lazy manifest DataFrame (path,
+    n_records, n_bytes) — run an action on it to execute the export.
+
+    Local paths write through ``open``; other schemes route via pyarrow
+    filesystems (same resolution contract as the WARC reader). A task
+    retry rewrites its own partition file in place — the sink is
+    idempotent per partition."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
+        n = 0
+        n_bytes = 0
+        out = None
+        try:
+            for pdf in batches:
+                for url, text in zip(pdf["url"], pdf["text"]):
+                    if out is None:  # open lazily: empty partition = no file
+                        out = _open_output(path)
+                    member = gzip.compress(wet_record_bytes(url, date, text))
+                    out.write(member)
+                    n += 1
+                    n_bytes += len(member)
+        finally:
+            if out is not None:
+                out.close()
+        if n:
+            yield pd.DataFrame(
+                [(path, n, n_bytes)], columns=["path", "n_records", "n_bytes"]
+            )
+
+    return df.select("url", "text").mapInPandas(_kernel, WET_MANIFEST_SCHEMA)
+
+
+def _open_output(path: str):
+    """Streaming write handle (one record-member at a time crosses
+    memory — the sink twin of ``_open_input``'s O(chunk) contract)."""
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(path)
+    if u.scheme in ("", "file"):
+        local = unquote(u.path) if u.scheme == "file" else path
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        return open(local, "wb")
+    from pyarrow import fs as pafs
+
+    fsys, rel = pafs.FileSystem.from_uri(path)  # pragma: no cover - remote fs
+    return fsys.open_output_stream(rel)  # pragma: no cover - remote fs
+
+
+def _wet_from_stream(raw) -> Iterator[tuple]:
+    head = raw.read(2)
+    raw.seek(0)
+    stream = gzip.GzipFile(fileobj=raw) if head == b"\x1f\x8b" else raw
+    for fields, body in iter_warc_records_stream(stream):
+        if fields.get("warc-type") != "conversion":
+            continue
+        ts = pd.to_datetime(fields.get("warc-date"), utc=True, errors="coerce")
+        yield (
+            fields.get("warc-target-uri", ""),
+            None if ts is pd.NaT else ts.tz_localize(None),
+            body.decode("utf-8", errors="replace"),
+        )
+
+
+def _parse_wet_paths(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ["url", "warc_ts", "text"]
+    rows: list[tuple] = []
+    for pdf in batches:
+        for path in pdf["path"]:
+            with _open_input(path) as raw:
+                for row in _wet_from_stream(raw):
+                    rows.append(row)
+                    if len(rows) >= _ROWS_PER_FRAME:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+    if rows:
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def read_wet_pages(spark: SparkSession, path: str) -> DataFrame:
+    """``.warc.wet.gz`` files under ``path`` → (url, warc_ts, text);
+    one file = one task, constant-memory record scan (the WARC reader's
+    contract, same kernel plumbing)."""
+    files = spark.read.format("binaryFile").load(path).select("path")
+    return files.mapInPandas(_parse_wet_paths, WET_PAGES_SCHEMA)
+
+
+def wet_fixture_dir(spark: SparkSession, sf_dir: str, files: int = 4) -> str:
+    """Write the html_pages extraction of ``sf_dir`` through the WET
+    sink once (cached per sf_dir) and return the directory — the
+    round-trip query reads these back and must hash-match the
+    extraction oracle."""
+    from ..operators.html import html_extract
+    from .htmlpages import html_pages_df
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/wc_wet_fixture_v1_{tag}_f{files}"
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(path, exist_ok=True)
+        wet = html_extract(html_pages_df(spark, sf_dir), keep=("url",))
+        write_wet_export(wet.repartition(files), path).collect()
+        with open(done, "w") as f:
+            f.write("ok")
+    return path
