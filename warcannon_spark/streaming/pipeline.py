@@ -187,3 +187,46 @@ def run_match_pipeline(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def run_wet_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Live WET generation — the streaming form of wet_export_roundtrip:
+    ``.warc.gz`` drops → constant-memory record splitter → WET-style
+    extraction (operators/html.html_extract over the response payload)
+    → distributed WET sink (sources/wet.py).
+
+    Each micro-batch lands in its own batch-id-scoped subdirectory
+    (``batch-000007/part-*.warc.wet.gz``), so a replayed batch rewrites
+    exactly its own files and nothing else — idempotent under recovery,
+    the interchange-layer analog of the rollup sink's (round=batch_id)
+    key (R3). Downstream readers glob ``batch-*/*.warc.wet.gz``.
+    """
+    import os
+
+    from ..operators.html import html_extract
+    from ..sources.warc import read_warc_pages_stream
+    from ..sources.wet import write_wet_export
+
+    pages = read_warc_pages_stream(spark, source_dir)
+    wet = html_extract(pages, keep=("url",), html_col="text")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_dir = os.path.join(out_dir, f"batch-{batch_id:06d}")
+        write_wet_export(batch_df, batch_dir).collect()
+
+    writer = (
+        wet.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
