@@ -490,13 +490,19 @@ def test_quality_classifier_inline_is_pure_map(spark):
     assert wplan.count("Exchange hashpartitioning") == 1, wplan
 
 
-def test_wet_quality_corpus_fused_plan_is_pure_map(spark, sf_dir):
+def test_wet_quality_corpus_plan_shape(spark, sf_dir):
     """The composed raw-markup -> WET -> lang-ID -> classifier -> gates
-    pipeline must stay ONE fused map stage: no exchange, no join, no
-    Python worker anywhere in the plan."""
+    pipeline: no wide shuffle, no join, no Python worker; the only
+    exchange is the RoundRobin input balance, and the heavy gate filter
+    must sit ABOVE it (the nondeterministic entanglement working) — a
+    gate pushed below the balance serializes the query onto the
+    single-file scan task."""
     from warcannon_spark.queries import QUERIES
 
     plan = plan_str(QUERIES["wet_quality_corpus"](spark, sf_dir))
-    assert "Exchange" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert plan.count("Exchange") == 1 and "RoundRobinPartitioning" in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    gate_pos = plan.find("Filter CASE WHEN (monotonically_increasing_id")
+    assert gate_pos != -1 and gate_pos < plan.find("Exchange"), plan

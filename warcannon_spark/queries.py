@@ -2366,15 +2366,28 @@ WHERE score >= 0 AND n_chars >= 200 AND n_tokens >= 20"""
 
 @_q("wet_quality_corpus", _wet_quality_corpus_oracle())
 def q_wet_quality_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship curation user story in ONE fused plan: raw crawl
+    """The flagship curation user story in one pipelined pass: raw crawl
     markup → WET extraction → language ID → hashed-linear classifier →
     length/token/keep gates → training-corpus rows. Every stage is a
-    native per-row expression over the SAME projection — composed via
-    the column-level builders (html_extract, lang_pred_col,
-    linear_score_cols) — so the whole pipeline has ZERO exchanges and
-    no Python workers (plan-asserted): at 100 TB it fans out with the
-    scan partitioning, one pass over the bytes, filters fused into the
-    scan stage by Catalyst."""
+    native per-row expression (no Python workers, no wide shuffle —
+    plan-asserted); the only exchange is a RoundRobin input balance
+    that exists because the test corpus is ONE small parquet file (at
+    real scale the crawl ships thousands of files and the scan
+    partitioning already fans out).
+
+    Gate-placement shape (measured, see BENCH/PLANS.md): left alone,
+    PushDownPredicate splits the gate conjunction and sinks the heavy
+    conjuncts (7-regex extraction + md5-per-feature classifier, via
+    alias substitution) BELOW the balance exchange into the single-task
+    scan stage — serializing ~all the query's CPU onto one core
+    (measured 2.8 s vs 0.5 s at sf0.1/local[32]). Entangling the gates
+    inside one nondeterministic CASE WHEN (mid() >= 0 is always true)
+    makes the predicate unsplittable and unpushable past the exchange,
+    so gating runs on the balanced 32-way side. The extraction is still
+    evaluated ~twice (once in the substituted filter, once in the
+    output projection) — accepted: it is embarrassingly parallel CPU,
+    and the alternative (materializing the WET layer) is what the WET
+    sink is for in a real pipeline."""
     from .operators.html import html_extract
     from .operators.textstats import (
         LANG_MARKERS,
@@ -2384,19 +2397,27 @@ def q_wet_quality_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .sources.htmlpages import html_pages_df
 
-    wet = html_extract(html_pages_df(spark, sf_dir), keep=("url",))
+    pages = html_pages_df(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    wet = html_extract(pages, keep=("url",))
     toks = F.split(F.col("text"), " ")
     s = {k: _marker_count(toks, m) for k, m in LANG_MARKERS.items()}
     _, score = linear_score_cols()
-    return wet.select(
+    out = wet.select(
         "url",
         lang_pred_col(s["en"], s["es"], s["de"]).alias("pred_lang"),
         score.alias("score"),
         F.col("n_chars"),
         F.size(toks).cast("long").alias("n_tokens"),
-    ).where(
-        (F.col("score") >= 0) & (F.col("n_chars") >= 200) & (F.col("n_tokens") >= 20)
     )
+    gate = F.when(
+        F.monotonically_increasing_id() >= 0,
+        (F.col("score") >= 0)
+        & (F.col("n_chars") >= 200)
+        & (F.col("n_tokens") >= 20),
+    ).otherwise(F.lit(False))
+    return out.where(gate)
 
 
 def _wet_roundtrip_oracle() -> str:
