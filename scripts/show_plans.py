@@ -167,6 +167,34 @@ def main() -> None:
         )
     )
 
+    from warcannon_spark.queries import QUERIES
+
+    wq = QUERIES["wet_quality_corpus"](spark, "/root/testdata/sf0.001")
+    wq_plan = plan_of(wq)
+    sections.append(
+        (
+            "wet_quality_corpus (gate placement vs predicate pushdown)",
+            wq_plan,
+            [
+                "one RoundRobin exchange only (input balance for the "
+                "one-file test corpus; a real crawl fans out at the scan) "
+                "— no hashpartitioning, no Python workers",
+                "the keep gates are entangled in ONE nondeterministic CASE "
+                "WHEN (mid() >= 0 is vacuously true) so PushDownPredicate "
+                "cannot split the conjunction and sink the heavy conjuncts "
+                "(extraction chain + md5-per-feature classifier, via alias "
+                "substitution) below the exchange into the single-task scan "
+                "stage — measured 2.8-3.0 s/pass serialized vs 0.5-0.7 s "
+                "balanced at sf0.1/local[32]",
+                "residual accepted cost: the extraction evaluates ~twice "
+                "(substituted gate filter + output projection) — "
+                "embarrassingly parallel; a real pipeline materializes the "
+                "WET layer once through sources/wet.py and scores from "
+                "storage",
+            ],
+        )
+    )
+
     out = ["# BENCH/PLANS.md — physical-plan evidence\n"]
     for title, plan, claims in sections:
         out.append(f"## {title}\n")
@@ -193,6 +221,9 @@ def main() -> None:
     assert "BroadcastHashJoin" in capped_plan and "LeftSemi" in capped_plan
     assert "PartitionFilters" in cc_plan
     assert "BroadcastExchange" in dec_plan
+    assert "RoundRobinPartitioning" in wq_plan
+    assert "hashpartitioning" not in wq_plan and "EvalPython" not in wq_plan
+    assert 0 <= wq_plan.find("Filter") < wq_plan.find("Exchange")
     print("plans written to BENCH/PLANS.md; matcher has", n_arrow, "ArrowEvalPython node")
     spark.stop()
 
