@@ -307,6 +307,7 @@ def main() -> None:
         "html_outlink_hosts",
         "wet_quality_corpus",
         "wet_export_roundtrip",
+        "warc_ranged_fetch",
         "span_dedup",
         "pii_scrub",
         "dedup_ngram_jaccard",

@@ -250,3 +250,73 @@ def test_warc_record_roundtrip_property():
         assert parsed == [(u, h) for u, _, h in records]
 
     roundtrip()
+
+
+def test_gzip_member_spans_exact(tmp_path):
+    """Every (offset, length) span must independently decompress to its
+    record, under adversarially small scan chunks; spans tile the file."""
+    import gzip
+    import io
+
+    from warcannon_spark.sources.warc import (
+        iter_gzip_member_spans,
+        warc_record_bytes,
+    )
+
+    recs = [
+        warc_record_bytes(
+            f"https://x.example/{i}", "2024-01-01T00:00:00Z", b"<p>%d</p>" % i
+        )
+        for i in range(7)
+    ]
+    blob = b"".join(gzip.compress(r) for r in recs)
+    spans = list(iter_gzip_member_spans(io.BytesIO(blob), chunk_size=5))
+    assert len(spans) == 7
+    pos = 0
+    for (off, ln, data), rec in zip(spans, recs):
+        assert off == pos
+        assert gzip.decompress(blob[off : off + ln]) == rec == data
+        pos = off + ln
+    assert pos == len(blob)
+    # truncated trailing member is dropped, prior spans unaffected
+    cut = list(iter_gzip_member_spans(io.BytesIO(blob[:-10]), chunk_size=5))
+    assert len(cut) == 6
+
+
+def test_ranged_fetch_equals_full_scan(spark, tmp_path):
+    """Index -> seek/read fetch of EVERY record must reproduce the full
+    streaming scan byte-for-byte (url, text, html)."""
+    import gzip
+
+    from warcannon_spark.sources.warc import (
+        read_warc_pages,
+        read_warc_records_ranged,
+        warc_record_bytes,
+        warc_record_index,
+    )
+
+    path = str(tmp_path / "a.warc.gz")
+    with open(path, "wb") as f:
+        for i in range(9):
+            f.write(
+                gzip.compress(
+                    warc_record_bytes(
+                        f"https://r.example/{i}",
+                        "2024-01-01T00:00:00Z",
+                        f"<p>pägé {i}</p>".encode(),
+                    )
+                )
+            )
+    idx = warc_record_index(spark, path)
+    assert idx.count() == 9
+    got = {
+        (r.url, r.text, bytes(r.html))
+        for r in read_warc_records_ranged(
+            idx.select("path", "offset", "length")
+        ).collect()
+    }
+    want = {
+        (r.url, r.text, bytes(r.html))
+        for r in read_warc_pages(spark, path).collect()
+    }
+    assert got == want and len(got) == 9

@@ -2449,3 +2449,32 @@ def q_wet_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.select(
         "url", "text", F.length("text").cast("long").alias("n_chars")
     )
+
+
+@_q(
+    "warc_ranged_fetch",
+    f"""WITH {PAGES_CTE}
+SELECT url, md5(text) AS text_md5 FROM pages WHERE fetch_seq % 30 = 0""",
+)
+def q_warc_ranged_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted record fetch (the ccindex warc_record_offset/length
+    workflow, bin/warcannon.js:194 DDL): warc_record_index scans the
+    fixture archives ONCE into (url, path, offset, length) — possible
+    because each record is its own gzip member — then a filtered index
+    subset (every third indexed record) is fetched by seek+read of
+    EXACTLY those byte ranges (read_warc_records_ranged; I/O is
+    O(selected), never O(archive)). Hash-matching the source derivation
+    proves offsets, lengths, and the one-member gunzip are all exact."""
+    from .sources.warc import (
+        read_warc_records_ranged,
+        warc_fixture_dir,
+        warc_record_index,
+    )
+
+    path = warc_fixture_dir(spark, sf_dir, mod=10)
+    idx = warc_record_index(spark, f"{path}/*.warc.gz")
+    seq = F.regexp_extract(F.col("url"), "/p/([0-9]+)$", 1).cast("long")
+    picked = idx.where(seq % 30 == 0).select("path", "offset", "length")
+    return read_warc_records_ranged(picked).select(
+        "url", F.md5(F.col("text")).alias("text_md5")
+    )

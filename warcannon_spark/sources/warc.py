@@ -256,6 +256,123 @@ def read_warc_pages_stream(
     return files.mapInPandas(_parse_warc_paths, WARC_PAGES_SCHEMA)
 
 
+# -- targeted record fetch via index offsets (S6 → S1 composition) ---------
+#
+# The reference's ccindex carries warc_record_offset/warc_record_length
+# (bin/warcannon.js:194 DDL) precisely so an Athena hit can be fetched
+# with ONE ranged GET instead of scanning the 1 GB WARC — possible
+# because Common Crawl writes one gzip member per record. These kernels
+# provide that path: build the (url, path, offset, length) index from
+# the member framing, then fetch exactly the indexed byte ranges.
+
+WARC_INDEX_SCHEMA = "url string, path string, offset long, length long"
+
+
+def iter_gzip_member_spans(
+    raw: BinaryIO, chunk_size: int = _CHUNK
+) -> Iterator[tuple[int, int, bytes]]:
+    """(compressed-offset, compressed-length, decompressed-bytes) per
+    gzip member, streaming: peak memory is O(member + chunk). Offsets
+    are exact — each member's span is recoverable with seek(offset) /
+    read(length) — which is what makes ranged record fetch possible."""
+    import zlib
+
+    member_start = 0  # absolute offset of the current member's first byte
+    feed_pos = 0  # absolute offset of pending[0]
+    d = zlib.decompressobj(wbits=31)
+    out: list[bytes] = []
+    pending = b""
+    while True:
+        if not pending:
+            pending = raw.read(chunk_size)
+            if not pending:
+                # a truncated trailing member is not seek-fetchable;
+                # drop it (same tolerance as the record scanner)
+                return
+        out.append(d.decompress(pending))
+        if d.eof:
+            # member ended inside `pending`; unused_data is the tail
+            # belonging to the NEXT member
+            used = len(pending) - len(d.unused_data)
+            end = feed_pos + used
+            yield member_start, end - member_start, b"".join(out)
+            pending = d.unused_data
+            feed_pos = end
+            member_start = end
+            d = zlib.decompressobj(wbits=31)
+            out = []
+        else:
+            feed_pos += len(pending)
+            pending = b""
+
+
+def _index_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ["url", "path", "offset", "length"]
+    rows: list[tuple] = []
+    for pdf in batches:
+        for path in pdf["path"]:
+            with _open_input(path) as raw:
+                for off, ln, data in iter_gzip_member_spans(raw):
+                    for fields, _body in iter_warc_records(data):
+                        if fields.get("warc-type") != "response":
+                            continue
+                        rows.append(
+                            (fields.get("warc-target-uri", ""), path, off, ln)
+                        )
+                        if len(rows) >= _ROWS_PER_FRAME:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
+    if rows:
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def warc_record_index(spark: SparkSession, path: str) -> DataFrame:
+    """Scan gzipped WARCs ONCE into a (url, path, offset, length) record
+    index — the engine-built analog of the ccindex's
+    warc_record_offset/warc_record_length columns. One file per task."""
+    files = spark.read.format("binaryFile").load(path).select("path")
+    return files.mapInPandas(_index_kernel, WARC_INDEX_SCHEMA)
+
+
+def _ranged_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ["url", "warc_ts", "html", "text"]
+    rows: list[tuple] = []
+    handle_path: str | None = None
+    handle = None
+    try:
+        for pdf in batches:
+            for path, off, ln in zip(pdf["path"], pdf["offset"], pdf["length"]):
+                if path != handle_path:
+                    if handle is not None:
+                        handle.close()
+                    handle = _open_input(path)
+                    handle_path = path
+                handle.seek(int(off))
+                member = handle.read(int(ln))
+                for row in _pages_from_stream(io.BytesIO(member)):
+                    rows.append(row)
+                    if len(rows) >= _ROWS_PER_FRAME:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+    finally:
+        if handle is not None:
+            handle.close()
+    if rows:
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def read_warc_records_ranged(index: DataFrame) -> DataFrame:
+    """Fetch EXACTLY the records named by an index DataFrame (path,
+    offset, length — e.g. a filtered :func:`warc_record_index` or a real
+    ccindex query result): seek + read length bytes + one-member gunzip
+    per record. I/O is O(selected records), never O(archive) — the
+    targeted-scan mode the reference runs through Athena result sets.
+    Rows are repartitioned by path so each task opens a file once,
+    sorted by offset for sequential access within the file."""
+    prepared = index.repartition("path").sortWithinPartitions("path", "offset")
+    return prepared.mapInPandas(_ranged_kernel, WARC_PAGES_SCHEMA)
+
+
 # -- synthetic-WARC writer (tests + oracle fixture) ------------------------
 
 
