@@ -95,3 +95,12 @@ def test_outlinks_plan_single_partial_agged_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     # partial aggregation runs map-side, before the exchange
     assert plan.index("HashAggregate") < plan.index("Exchange"), plan
+
+
+def test_html_extract_known_divergence_gt_in_attribute(spark):
+    """PINNED known divergence (module docstring): '>' inside a quoted
+    attribute ends the tag early and the attribute tail leaks into the
+    text. If this ever changes (a real tokenizer lands), update the
+    docstring and the DuckDB twin together."""
+    r = _extract_one(spark, '<body><a title="a>b">link</a> ok</body>')
+    assert r.text == 'b">link ok'

@@ -23,6 +23,13 @@ At 100 TB: a per-row projection with no exchange — the plan fans out with
 the scan partitioning, whole-stage-codegen end to end (plan-asserted).
 Outlink harvesting adds one explode (rows × ~links-per-page) and a single
 partial-aggregated shuffle on (src_host, dst_host).
+
+Known divergence from a DOM parser (pytest-pinned, shared by every
+regex extractor incl. the WET generator's own heritage): a ``>``
+inside a quoted attribute value (``<a title="a>b">``) ends the tag
+early, leaking the attribute tail (``b">``) into the text. Accepted —
+fixing it needs stateful tokenization (a Python-side parser), and the
+prose-side damage is bounded to pages that quote ``>`` in attributes.
 """
 
 from __future__ import annotations
