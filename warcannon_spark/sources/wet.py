@@ -38,6 +38,7 @@ from .warc import (
     _CRLF2,
     _ROWS_PER_FRAME,
     _open_input,
+    _warc_ts,
     iter_warc_records_stream,
 )
 
@@ -126,10 +127,9 @@ def _wet_from_stream(raw) -> Iterator[tuple]:
     for fields, body in iter_warc_records_stream(stream):
         if fields.get("warc-type") != "conversion":
             continue
-        ts = pd.to_datetime(fields.get("warc-date"), utc=True, errors="coerce")
         yield (
             fields.get("warc-target-uri", ""),
-            None if ts is pd.NaT else ts.tz_localize(None),
+            _warc_ts(fields.get("warc-date")),
             body.decode("utf-8", errors="replace"),
         )
 
