@@ -320,3 +320,32 @@ def test_ranged_fetch_equals_full_scan(spark, tmp_path):
         for r in read_warc_pages(spark, path).collect()
     }
     assert got == want and len(got) == 9
+
+
+def test_ranged_fetch_member_granularity_and_dedup(spark, tmp_path):
+    """Duplicate index rows fetch a member once; a multi-record member
+    yields ALL its response records (member granularity, documented)."""
+    import gzip
+
+    from warcannon_spark.sources.warc import (
+        read_warc_records_ranged,
+        warc_record_bytes,
+        warc_record_index,
+    )
+
+    path = str(tmp_path / "m.warc.gz")
+    two_in_one = warc_record_bytes(
+        "https://m.example/a", "2024-01-01T00:00:00Z", b"<p>a</p>"
+    ) + warc_record_bytes(
+        "https://m.example/b", "2024-01-01T00:00:00Z", b"<p>b</p>"
+    )
+    with open(path, "wb") as f:
+        f.write(gzip.compress(two_in_one))
+    idx = warc_record_index(spark, path)
+    assert idx.count() == 2  # two records, one shared span
+    doubled = idx.unionByName(idx)  # 4 rows naming the same member
+    urls = [
+        r.url
+        for r in read_warc_records_ranged(doubled).collect()
+    ]
+    assert sorted(urls) == ["https://m.example/a", "https://m.example/b"]

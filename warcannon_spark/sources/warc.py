@@ -386,9 +386,18 @@ def read_warc_records_ranged(index: DataFrame) -> DataFrame:
     ccindex query result): seek + read length bytes + one-member gunzip
     per record. I/O is O(selected records), never O(archive) — the
     targeted-scan mode the reference runs through Athena result sets.
+    Fetch granularity is the gzip MEMBER: every response record inside a
+    selected span is returned (Common Crawl writes one record per
+    member, so there the two are identical). Spans are deduplicated
+    first — two index rows naming the same member fetch it once.
     Rows are repartitioned by path so each task opens a file once,
     sorted by offset for sequential access within the file."""
-    prepared = index.repartition("path").sortWithinPartitions("path", "offset")
+    prepared = (
+        index.select("path", "offset", "length")
+        .dropDuplicates(["path", "offset", "length"])
+        .repartition("path")
+        .sortWithinPartitions("path", "offset")
+    )
     return prepared.mapInPandas(_ranged_kernel, WARC_PAGES_SCHEMA)
 
 
