@@ -308,6 +308,7 @@ def main() -> None:
         "wet_quality_corpus",
         "wet_export_roundtrip",
         "warc_ranged_fetch",
+        "dsir_weights",
         "span_dedup",
         "pii_scrub",
         "dedup_ngram_jaccard",

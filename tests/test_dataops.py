@@ -854,3 +854,22 @@ def test_hashed_linear_score_weights_table_path_agrees(spark):
         for r in hashed_linear_score(docs, dim=dim, weights=weights).collect()
     }
     assert inline == joined
+
+
+def test_dsir_weights_discriminates_target_domain(spark, sf_dir):
+    """Importance weights must rank target-domain (src0) docs above the
+    background mean — the selection signal DSIR exists to produce."""
+    from warcannon_spark.operators.curation import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    target = docs.where("source = 'src0'").select("doc_id", "text")
+    scored = dsir_weights(docs.select("doc_id", "text"), target).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    rows = scored.groupBy(
+        (scored.source == "src0").alias("is_target")
+    ).agg({"iw_score": "avg"}).collect()
+    means = {r.is_target: r["avg(iw_score)"] for r in rows}
+    assert means[True] > means[False]

@@ -506,3 +506,15 @@ def test_wet_quality_corpus_plan_shape(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     gate_pos = plan.find("Filter CASE WHEN (monotonically_increasing_id")
     assert gate_pos != -1 and gate_pos < plan.find("Exchange"), plan
+
+
+def test_dsir_weights_plan_broadcast_gather(spark, sf_dir):
+    """DSIR scale shape: dim-bounded weight table gathers via BROADCAST
+    joins; the only hash exchanges are the two bucket-count aggs and the
+    final per-doc sum (corpus never shuffles wider than (id, bucket))."""
+    from warcannon_spark.queries import QUERIES
+
+    plan = plan_str(QUERIES["dsir_weights"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan

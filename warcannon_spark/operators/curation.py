@@ -503,3 +503,79 @@ def mixture_epoch_sample(
             F.col("rate_ppm").cast("long").alias("rate_ppm"),
         )
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    dim: int = 4096,
+    seed: str = "dsir-v1",
+    scale: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023): score every background document by how target-like its hashed
+    n-gram feature distribution is, so a sampler can upweight
+    target-domain data. Features are the classifier's unigram+bigram
+    hashing trick (textstats._feature_array) into ``dim`` buckets; the
+    per-bucket importance weight compares the smoothed target and
+    background bucket frequencies.
+
+    Determinism over fidelity for the oracle: the canonical DSIR weight
+    is ``log p_target(b) - log p_background(b)``; floats and ``log``
+    round differently across engines, so this implementation uses the
+    exact-integer ratio proxy ``w[b] = ((t[b]+1) * scale) div (r[b]+1)``
+    (add-1 smoothing, truncating integer division — bit-identical in
+    Spark and DuckDB). Swapping the float log back in changes ONE
+    projection, none of the plan shape.
+
+    Plan shape (DSIR is inherently two-pass):
+      1. two bucket-count aggregations (target + background) — outputs
+         are ≤ ``dim`` rows each, however big the corpora;
+      2. the dim-sized weight table joins back BROADCAST against the
+         exploded background features; one partial-aggregated per-doc
+         sum — the corpus never shuffles wider than (id, bucket) rows.
+
+    Output: (id, n_feats, iw_score) — iw_score ~ how target-like.
+    """
+    from .textstats import _feature_array
+
+    def buckets_of(frame: DataFrame) -> DataFrame:
+        feats = _feature_array(text_col, bigrams=True)
+        return frame.select(
+            F.explode(feats).alias("__f")
+        ).select((h64(F.concat(F.lit(f"{seed}|b|"), F.col("__f"))) % dim).alias("bucket"))
+
+    t_counts = buckets_of(target).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("t_n")
+    )
+    r_counts = buckets_of(docs).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("r_n")
+    )
+    spark = docs.sparkSession
+    all_buckets = spark.range(dim).select(F.col("id").alias("bucket"))
+    weights = (
+        all_buckets.join(F.broadcast(t_counts), "bucket", "left")
+        .join(F.broadcast(r_counts), "bucket", "left")
+        .select(
+            "bucket",
+            F.expr(
+                f"((coalesce(t_n, 0) + 1) * CAST({scale} AS BIGINT))"
+                " div (coalesce(r_n, 0) + 1)"
+            ).alias("w"),
+        )
+    )
+    feats = _feature_array(text_col, bigrams=True)
+    exploded = docs.select(id_col, F.explode(feats).alias("__f")).select(
+        id_col,
+        (h64(F.concat(F.lit(f"{seed}|b|"), F.col("__f"))) % dim).alias("bucket"),
+    )
+    return (
+        exploded.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("w").cast("long").alias("iw_score"),
+        )
+    )

@@ -2478,3 +2478,55 @@ def q_warc_ranged_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_warc_records_ranged(picked).select(
         "url", F.md5(F.col("text")).alias("text_md5")
     )
+
+
+def _dsir_oracle() -> str:
+    b = h64_sql("'dsir-v1|b|' || f")
+    return f"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+fx AS (
+  SELECT doc_id, u.f
+  FROM toks, unnest(list_concat(
+    t, list_transform(range(1, len(t)), i -> t[i] || '_' || t[i + 1])
+  )) AS u(f)
+),
+bx AS (
+  SELECT doc_id, {b} % 4096 AS bucket FROM fx
+),
+tx AS (
+  SELECT bucket, count(*) AS t_n
+  FROM bx JOIN documents USING (doc_id)
+  WHERE source = 'src0' GROUP BY bucket
+),
+rx AS (
+  SELECT bucket, count(*) AS r_n FROM bx GROUP BY bucket
+),
+w AS (
+  SELECT bucket,
+         ((coalesce(t_n, 0) + 1) * 1000000) // (coalesce(r_n, 0) + 1) AS w
+  FROM range(4096) rng(bucket)
+  LEFT JOIN tx USING (bucket)
+  LEFT JOIN rx USING (bucket)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       CAST(sum(w) AS BIGINT) AS iw_score
+FROM bx JOIN w USING (bucket)
+GROUP BY doc_id"""
+
+
+@_q("dsir_weights", _dsir_oracle())
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (operators/curation.dsir_weights):
+    target = the src0 slice of the corpus, background = the whole
+    corpus; hashed unigram+bigram bucket distributions compared with
+    add-1 smoothing through the exact-integer ratio proxy (bit-identical
+    across engines; the float log-ratio swaps into one projection).
+    Two dim-bounded count aggregations + a broadcast weight gather +
+    one partial-agged per-doc sum — the corpus never shuffles wider
+    than (id, bucket)."""
+    from .operators.curation import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    target = docs.where(F.col("source") == "src0")
+    return dsir_weights(docs.select("doc_id", "text"), target.select("doc_id", "text"))
