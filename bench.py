@@ -309,6 +309,7 @@ def main() -> None:
         "wet_export_roundtrip",
         "warc_ranged_fetch",
         "dsir_weights",
+        "train_quality_classifier",
         "span_dedup",
         "pii_scrub",
         "dedup_ngram_jaccard",

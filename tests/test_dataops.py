@@ -873,3 +873,41 @@ def test_dsir_weights_discriminates_target_domain(spark, sf_dir):
     ).agg({"iw_score": "avg"}).collect()
     means = {r.is_target: r["avg(iw_score)"] for r in rows}
     assert means[True] > means[False]
+
+
+def test_train_linear_classifier_learns_and_feeds_inference(spark, sf_dir):
+    """(1) The damped batch perceptron must fit the token-presence
+    target to 100% training accuracy (it converges to |M| = 0 — the
+    deterministic outcome pinned here), beating the zero model;
+    (2) the trained weights table must plug straight into
+    hashed_linear_score's weights path (bias=True, matching training)
+    and reproduce the training scores — train and inference share one
+    artifact format."""
+    from pyspark.sql import functions as F
+
+    from warcannon_spark.operators.textstats import (
+        hashed_linear_score,
+        train_linear_classifier,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labeled = docs.select(
+        "doc_id", "text",
+        F.when(F.array_contains(F.split("text", " "), "spark"), 1)
+        .otherwise(-1).alias("label"),
+    )
+    wdf, scored = train_linear_classifier(labeled, epochs=4)
+    rows = scored.collect()
+    n = len(rows)
+    acc_trained = sum(1 for r in rows if r.pred == r.label) / n
+    acc_zero = sum(1 for r in rows if r.label == 1) / n  # zero model: s=0 -> pred +1
+    assert acc_trained == 1.0, (acc_trained, acc_zero)
+    assert acc_zero < 1.0  # the target is non-degenerate on this corpus
+
+    inferred = {
+        (r.doc_id, r.score)
+        for r in hashed_linear_score(labeled, weights=wdf, bias=True).collect()
+    }
+    trained = {(r.doc_id, r.score) for r in rows}
+    assert inferred == trained
+    scored.training_cache.unpersist()

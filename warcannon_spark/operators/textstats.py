@@ -293,6 +293,7 @@ def hashed_linear_score(
     weights: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bias: bool = False,
 ) -> DataFrame:
     """FastText/DCLM-style hashed linear text-classifier INFERENCE — the
     "apply a trained quality model to the whole corpus" step that sits
@@ -318,9 +319,11 @@ def hashed_linear_score(
 
     Output: (id, n_feats, score, keep) with integer score (weights are
     integers in [-1000, 1000]) so cross-engine comparison is exact;
-    ``keep = 1`` iff score >= 0.
+    ``keep = 1`` iff score >= 0. ``bias=True`` includes the constant
+    ``__bias__`` feature — set it when scoring with weights exported by
+    :func:`train_linear_classifier` (which always trains one).
     """
-    feats = _feature_array(text_col, bigrams)
+    feats = _feature_array(text_col, bigrams, bias)
 
     def bucket_of(x):
         return h64(F.concat(F.lit(f"{seed}|b|"), x)) % dim
@@ -340,7 +343,7 @@ def hashed_linear_score(
             .withColumn("keep", (F.col("score") >= 0).cast("long"))
         )
 
-    n_feats, score = linear_score_cols(text_col, dim, seed, bigrams)
+    n_feats, score = linear_score_cols(text_col, dim, seed, bigrams, bias)
     return docs.select(
         F.col(id_col),
         n_feats.alias("n_feats"),
@@ -348,18 +351,24 @@ def hashed_linear_score(
     ).withColumn("keep", (F.col("score") >= 0).cast("long"))
 
 
-def _feature_array(text_col: str, bigrams: bool):
-    """Unigram (+bigram) feature array of the hashing-trick classifier."""
+def _feature_array(text_col: str, bigrams: bool, bias: bool = False):
+    """Unigram (+bigram) feature array of the hashing-trick classifier.
+    ``bias`` prepends the constant ``__bias__`` feature (a learnable
+    intercept — training needs it; the stand-in inference model does
+    not use one, so it defaults off)."""
     toks = F.split(F.col(text_col), " ")
-    if not bigrams:
-        return toks
-    n = F.size(toks)
-    bi = F.zip_with(
-        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit("_"), b),
-    )
-    return F.concat(toks, bi)
+    feats = toks
+    if bigrams:
+        n = F.size(toks)
+        bi = F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        )
+        feats = F.concat(toks, bi)
+    if bias:
+        feats = F.concat(F.array(F.lit("__bias__")), feats)
+    return feats
 
 
 def linear_score_cols(
@@ -367,12 +376,13 @@ def linear_score_cols(
     dim: int = 4096,
     seed: str = "qc-v1",
     bigrams: bool = True,
+    bias: bool = False,
 ):
     """(n_feats, score) Columns of the stand-in-weights classifier —
     the column-level form of :func:`hashed_linear_score`'s inline path,
     for composed single-plan pipelines (e.g. queries.wet_quality_corpus)
     that fuse extraction + scoring without a join."""
-    feats = _feature_array(text_col, bigrams)
+    feats = _feature_array(text_col, bigrams, bias)
 
     def w_of(x):
         b = h64(F.concat(F.lit(f"{seed}|b|"), x)) % dim
@@ -392,3 +402,135 @@ def lang_pred_col(s_en, s_es, s_de):
         .when(s_es >= s_de, F.lit("es"))
         .otherwise(F.lit("de"))
     )
+
+
+def train_linear_classifier(
+    docs: DataFrame,
+    dim: int = 4096,
+    seed: str = "qc-v1",
+    epochs: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+):
+    """TRAIN the hashed linear classifier in-engine — the companion to
+    :func:`hashed_linear_score` (inference): a deterministic BATCH
+    perceptron over the same unigram+bigram hashing-trick features, all
+    integer arithmetic so the result is bit-identical across engines
+    (the DuckDB oracle unrolls the epochs as chained CTEs, the same
+    device the PageRank oracle uses for iteration).
+
+    Batch (not online) perceptron, deliberately: online updates depend
+    on row order, which a distributed engine must not promise. Per
+    epoch: score every doc with the current weights, find the
+    misclassified set M = {y·s <= 0} (epoch 0: w = 0, so every doc is
+    in M), and apply the DAMPED summed update
+    ``w[b] += trunc(Σ_{d∈M} y_d·c_d[b] / |M|)`` — the 1/|M| step keeps
+    the full-batch update from oscillating between the two all-one-class
+    states (measured: raw summed updates flip all-(+1)/all-(-1) forever;
+    damped converges to |M| = 0 on a learnable target in ~4 epochs).
+    Truncation toward zero is spelled out sign-explicitly so Spark and
+    DuckDB agree on negative deltas. A constant ``__bias__`` feature is
+    always included (the learnable intercept).
+
+    Scale shape: the per-(doc, bucket) count frame ``gx`` is built once
+    (one shuffle) and persisted; each epoch is then one BROADCAST gather
+    of the dim-sized weight table + a per-doc partial-agged sum + one
+    doc-keyed join against the misclassified ids + a dim-bounded delta
+    aggregation. Only dim-sized vectors ever reach the driver (the
+    k-means-centroid pattern, similarity.py). The persisted ``gx`` is
+    attached to the returned scored frame as ``.training_cache`` for
+    caller release.
+
+    Returns (weights DataFrame (bucket, w), scored DataFrame
+    (id, score, pred, label)) — scored uses the FINAL weights.
+    """
+    from .curation import _LIVE_CACHES
+
+    spark = docs.sparkSession
+    feats = _feature_array(text_col, bigrams=True, bias=True)
+    gx = (
+        docs.select(
+            F.col(id_col),
+            F.col(label_col).cast("long").alias("__y"),
+            F.explode(feats).alias("__f"),
+        )
+        .select(
+            id_col,
+            "__y",
+            (h64(F.concat(F.lit(f"{seed}|b|"), F.col("__f"))) % dim).alias(
+                "bucket"
+            ),
+        )
+        .groupBy(id_col, "__y", "bucket")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist()
+    )
+    _LIVE_CACHES.append(gx)
+
+    n_docs = docs.count()
+    w: dict[int, int] = {}
+    first = True
+    for _ in range(epochs):
+        mis = None
+        if first:
+            first = False
+            m = n_docs  # w = 0 scores everything 0: all docs misclassified
+            delta = gx.groupBy("bucket").agg(
+                F.sum(F.col("__y") * F.col("__c")).alias("d")
+            )
+        else:
+            wdf = spark.createDataFrame(
+                [(b, v) for b, v in sorted(w.items())], "bucket long, w long"
+            )
+            scores = (
+                gx.join(F.broadcast(wdf), "bucket", "left")
+                .groupBy(id_col, "__y")
+                .agg(
+                    F.sum(
+                        F.col("__c") * F.coalesce(F.col("w"), F.lit(0))
+                    ).alias("s")
+                )
+            )
+            mis = scores.where(F.col("__y") * F.col("s") <= 0).select(id_col)
+            mis = mis.persist()
+            m = mis.count()
+            if m == 0:
+                mis.unpersist()
+                break  # converged: every doc classified correctly
+            delta = (
+                gx.join(mis, id_col)
+                .groupBy("bucket")
+                .agg(F.sum(F.col("__y") * F.col("__c")).alias("d"))
+            )
+        for r in delta.collect():  # <= dim rows by construction
+            d = int(r.d)
+            step = d // m if d >= 0 else -((-d) // m)  # trunc toward 0
+            if step:
+                w[r.bucket] = w.get(r.bucket, 0) + step
+        if mis is not None:
+            mis.unpersist()
+
+    wdf = spark.createDataFrame(
+        [(b, v) for b, v in sorted(w.items())], "bucket long, w long"
+    )
+    scored = (
+        gx.join(F.broadcast(wdf), "bucket", "left")
+        .groupBy(id_col, "__y")
+        .agg(
+            F.sum(F.col("__c") * F.coalesce(F.col("w"), F.lit(0)))
+            .cast("long")
+            .alias("score")
+        )
+        .select(
+            id_col,
+            "score",
+            F.when(F.col("score") >= 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("pred"),
+            F.col("__y").alias("label"),
+        )
+    )
+    scored.training_cache = gx
+    return wdf, scored

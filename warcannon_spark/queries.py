@@ -2530,3 +2530,103 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     target = docs.where(F.col("source") == "src0")
     return dsir_weights(docs.select("doc_id", "text"), target.select("doc_id", "text"))
+
+
+def _train_qc_oracle(epochs: int = 4) -> str:
+    """Unrolled damped-batch-perceptron oracle (the PageRank device for
+    iteration): epoch e = score with w(e-1), misclassified set, damped
+    integer update. Truncation toward zero is sign-explicit so DuckDB's
+    floor-division ``//`` matches Spark on negative deltas."""
+    b = h64_sql("'qc-v1|b|' || f")
+
+    def trunc_div(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN {num} >= 0 THEN {num} // {den}"
+            f" ELSE -((-({num})) // {den}) END"
+        )
+
+    parts = [f"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+lab AS (
+  SELECT doc_id, CASE WHEN list_contains(t, 'spark') THEN 1 ELSE -1 END AS y
+  FROM toks
+),
+fx AS (
+  SELECT doc_id, u.f
+  FROM toks, unnest(list_concat(list_value('__bias__'), list_concat(
+    t, list_transform(range(1, len(t)), i -> t[i] || '_' || t[i + 1])
+  ))) AS u(f)
+),
+bx AS (SELECT doc_id, {b} % 4096 AS bucket FROM fx),
+gx AS (SELECT doc_id, bucket, count(*) AS c FROM bx GROUP BY doc_id, bucket),
+d1 AS (
+  SELECT bucket, sum(y * c) AS d
+  FROM gx JOIN lab USING (doc_id) GROUP BY bucket
+),
+w1 AS (
+  SELECT bucket,
+         {trunc_div('d', '(SELECT count(*) FROM documents)')} AS w
+  FROM d1
+)"""]
+    for e in range(2, epochs + 1):
+        pw = f"w{e - 1}"
+        parts.append(f""",
+s{e} AS (
+  SELECT doc_id, y, sum(c * coalesce(w, 0)) AS s
+  FROM gx JOIN lab USING (doc_id) LEFT JOIN {pw} USING (bucket)
+  GROUP BY doc_id, y
+),
+m{e} AS (SELECT doc_id FROM s{e} WHERE y * s <= 0),
+cm{e} AS (SELECT count(*) AS m FROM m{e}),
+d{e} AS (
+  SELECT bucket, sum(y * c) AS d
+  FROM gx JOIN lab USING (doc_id)
+  WHERE doc_id IN (SELECT doc_id FROM m{e})
+  GROUP BY bucket
+),
+w{e} AS (
+  SELECT coalesce(a.bucket, b.bucket) AS bucket,
+         coalesce(a.w, 0)
+         + coalesce({trunc_div('b.d', f'(SELECT m FROM cm{e})')}, 0) AS w
+  FROM {pw} a FULL JOIN d{e} b ON a.bucket = b.bucket
+)""")
+    parts.append(f""",
+sfin AS (
+  SELECT doc_id, y, sum(c * coalesce(w, 0)) AS s
+  FROM gx JOIN lab USING (doc_id) LEFT JOIN w{epochs} USING (bucket)
+  GROUP BY doc_id, y
+)
+SELECT doc_id, CAST(s AS BIGINT) AS score,
+       CAST(CASE WHEN s >= 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+       CAST(y AS BIGINT) AS label
+FROM sfin""")
+    return "".join(parts)
+
+
+@_q("train_quality_classifier", _train_qc_oracle())
+def q_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine classifier TRAINING (textstats.train_linear_classifier):
+    a deterministic DAMPED integer batch perceptron (bias feature +
+    trunc(delta/|M|) steps — raw summed updates oscillate, see the
+    operator docstring) over the hashing-trick features. Labels: docs
+    containing the token 'spark' — a target a linear model genuinely
+    learns (training converges to |M| = 0 in ~4 epochs, pytest-pinned
+    at 100% training accuracy with the weights feeding
+    hashed_linear_score's inference path). Four epochs,
+    unrolled as chained CTEs in the oracle (the PageRank device) —
+    hash-green means every epoch's misclassified set, weight delta, and
+    final scores are bit-identical across engines."""
+    from .operators.textstats import train_linear_classifier
+
+    labeled = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.when(
+            F.array_contains(F.split(F.col("text"), " "), "spark"), F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("label"),
+    )
+    _w, scored = train_linear_classifier(labeled, epochs=4)
+    return scored
