@@ -104,3 +104,64 @@ def test_html_extract_known_divergence_gt_in_attribute(spark):
     docstring and the DuckDB twin together."""
     r = _extract_one(spark, '<body><a title="a>b">link</a> ok</body>')
     assert r.text == 'b">link ok'
+
+
+def test_html_extract_randomized_vs_python_reference(spark):
+    """Differential test: 80 seeded-random tag soups through the Spark
+    extraction vs an independent Python `re` implementation of the same
+    chain (one Spark job, not per-example). Catches engine-regex
+    semantic drift (flags, lazy matching, class handling) on inputs
+    nastier than the fixture: stray '<'/'>', unclosed tags, entities
+    split across pieces, CRLF whitespace."""
+    import random
+    import re
+
+    from warcannon_spark.operators.html import (
+        COMMENT_RE,
+        ENTITIES,
+        SCRIPT_RE,
+        STYLE_RE,
+        TAG_RE,
+        TITLE_RE,
+        WS_RE,
+        html_extract,
+    )
+
+    def ref_extract(html: str) -> tuple[str, str]:
+        no_comment = re.sub(COMMENT_RE, " ", html)
+        no_block = re.sub(
+            TITLE_RE, " ",
+            re.sub(STYLE_RE, " ", re.sub(SCRIPT_RE, " ", no_comment)),
+        )
+        def decode(s: str) -> str:
+            for a, b in ENTITIES:
+                s = s.replace(a, b)
+            return s
+        def clean(s: str) -> str:
+            return re.sub(WS_RE, " ", s).strip()
+        text = clean(decode(re.sub(TAG_RE, " ", no_block)))
+        m = re.search(TITLE_RE, no_comment)
+        title = clean(decode(m.group(1) if m else ""))
+        return title, text
+
+    rng = random.Random(20260817)
+    pieces = [
+        "word", "two words", "<p>", "</p>", "<a href=\"https://x.example/y\">",
+        "</a>", "<script>var a = 1 < 2;</script>", "<script src=\"x\">",
+        "</script>", "<style>p { x: y; }</style>", "<title>A &amp; B</title>",
+        "</title>", "<!-- hidden <b>markup</b> -->", "<!--", "-->",
+        "&lt;", "&gt;", "&amp;", "&amp;lt;", "&quot;", "&#39;", "&nbsp;",
+        "<", ">", "\"", "'", "\n", "\r\n", "\t", "  ", "<br>", "<div class=\"a\">",
+        "</div>", "<TITLE>upper</TITLE>", "<ScRiPt>noise()</sCrIpT>",
+    ]
+    docs = [
+        (i, "".join(rng.choice(pieces) for _ in range(rng.randint(1, 40))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, html string")
+    got = {
+        r.doc_id: (r.title, r.text)
+        for r in html_extract(df, keep=("doc_id",)).collect()
+    }
+    for i, html in docs:
+        assert got[i] == ref_extract(html), (i, html, got[i], ref_extract(html))
