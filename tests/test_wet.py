@@ -146,3 +146,31 @@ def test_streaming_wet_pipeline_roundtrip_and_replay(spark, tmp_path):
         for r in read_wet_pages(spark, f"{out}/batch-*/*.warc.wet.gz").collect()
     }
     assert again == want
+
+
+def test_wet_stream_reader_matches_batch(spark, tmp_path):
+    from warcannon_spark.sources.wet import (
+        read_wet_pages,
+        read_wet_pages_stream,
+        write_wet_export,
+    )
+
+    df = spark.createDataFrame(
+        [(f"https://s.example/{i}", f"t {i}") for i in range(5)],
+        "url string, text string",
+    )
+    out = str(tmp_path / "wet")
+    write_wet_export(df.repartition(2), out).collect()
+    sink = str(tmp_path / "sink")
+    q = (
+        read_wet_pages_stream(spark, out)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.url, r.text) for r in spark.read.parquet(sink).collect()}
+    want = {(r.url, r.text) for r in read_wet_pages(spark, out).collect()}
+    assert got == want and len(got) == 5

@@ -157,6 +157,26 @@ def read_wet_pages(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(_parse_wet_paths, WET_PAGES_SCHEMA)
 
 
+def read_wet_pages_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """STREAMING twin of :func:`read_wet_pages` (mirrors
+    warc.read_warc_pages_stream): new ``.warc.wet.gz`` drops under
+    ``path`` become micro-batches through the same constant-memory
+    kernel — e.g. to re-score or re-filter a WET corpus as batches of
+    it land."""
+    from .warc import BINARYFILE_SCHEMA
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARYFILE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+        .select("path")
+    )
+    return files.mapInPandas(_parse_wet_paths, WET_PAGES_SCHEMA)
+
+
 def wet_fixture_dir(spark: SparkSession, sf_dir: str, files: int = 4) -> str:
     """Write the html_pages extraction of ``sf_dir`` through the WET
     sink once (cached per sf_dir) and return the directory — the
