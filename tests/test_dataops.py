@@ -911,3 +911,28 @@ def test_train_linear_classifier_learns_and_feeds_inference(spark, sf_dir):
     trained = {(r.doc_id, r.score) for r in rows}
     assert inferred == trained
     scored.training_cache.unpersist()
+
+
+def test_hashed_linear_score_sparse_weights_keeps_all_docs(spark):
+    """A weights table missing some buckets must score them 0 — not
+    drop documents whose features all land in absent buckets."""
+    from warcannon_spark.operators.textstats import hashed_linear_score
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "zzz qqq")], "doc_id long, text string"
+    )
+    # weights covering ONLY doc 0's buckets
+    from warcannon_spark.functions.hashing import h64
+    from pyspark.sql import functions as F
+
+    b0 = (
+        docs.where("doc_id = 0")
+        .select(F.explode(F.split("text", " ")).alias("f"))
+        .select((h64(F.concat(F.lit("qc-v1|b|"), F.col("f"))) % 4096).alias("bucket"))
+        .distinct()
+        .withColumn("w", F.lit(7))
+    )
+    out = {r.doc_id: r.score for r in
+           hashed_linear_score(docs, weights=b0, bigrams=False).collect()}
+    assert set(out) == {0, 1}
+    assert out[1] == 0 and out[0] > 0

@@ -333,12 +333,17 @@ def hashed_linear_score(
         exploded = base.select(
             id_col, F.explode("__feats").alias("__f")
         ).select(id_col, bucket_of(F.col("__f")).alias("bucket"))
+        # LEFT join + coalesce: a sparse weights table (e.g. a trained
+        # model whose damped steps zeroed some buckets) must score the
+        # missing buckets as 0, not drop the document.
         return (
-            exploded.join(F.broadcast(weights), "bucket")
+            exploded.join(F.broadcast(weights), "bucket", "left")
             .groupBy(id_col)
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_feats"),
-                F.sum("w").cast("long").alias("score"),
+                F.sum(F.coalesce(F.col("w"), F.lit(0)))
+                .cast("long")
+                .alias("score"),
             )
             .withColumn("keep", (F.col("score") >= 0).cast("long"))
         )
