@@ -477,13 +477,15 @@ def train_linear_classifier(
     w: dict[int, int] = {}
     first = True
     for _ in range(epochs):
-        mis = None
         if first:
             first = False
             m = n_docs  # w = 0 scores everything 0: all docs misclassified
-            delta = gx.groupBy("bucket").agg(
-                F.sum(F.col("__y") * F.col("__c")).alias("d")
-            )
+            delta = [
+                (int(r.bucket), int(r.d))
+                for r in gx.groupBy("bucket")
+                .agg(F.sum(F.col("__y") * F.col("__c")).alias("d"))
+                .collect()
+            ]
         else:
             wdf = spark.createDataFrame(
                 [(b, v) for b, v in sorted(w.items())], "bucket long, w long"
@@ -498,23 +500,28 @@ def train_linear_classifier(
                 )
             )
             mis = scores.where(F.col("__y") * F.col("s") <= 0).select(id_col)
-            mis = mis.persist()
-            m = mis.count()
-            if m == 0:
-                mis.unpersist()
-                break  # converged: every doc classified correctly
-            delta = (
+            # ONE action per epoch: rollup's grand-total row carries |M|
+            # (countDistinct over the misclassified join) alongside the
+            # per-bucket deltas — no separate mis.count() job.
+            rows = (
                 gx.join(mis, id_col)
-                .groupBy("bucket")
-                .agg(F.sum(F.col("__y") * F.col("__c")).alias("d"))
+                .rollup("bucket")
+                .agg(
+                    F.sum(F.col("__y") * F.col("__c")).alias("d"),
+                    F.countDistinct(id_col).alias("n"),
+                )
+                .collect()
             )
-        for r in delta.collect():  # <= dim rows by construction
-            d = int(r.d)
+            if not rows:  # empty join: converged, every doc correct
+                break
+            m = next(int(r.n) for r in rows if r.bucket is None)
+            delta = [
+                (int(r.bucket), int(r.d)) for r in rows if r.bucket is not None
+            ]
+        for bucket, d in delta:  # <= dim rows by construction
             step = d // m if d >= 0 else -((-d) // m)  # trunc toward 0
             if step:
-                w[r.bucket] = w.get(r.bucket, 0) + step
-        if mis is not None:
-            mis.unpersist()
+                w[bucket] = w.get(bucket, 0) + step
 
     wdf = spark.createDataFrame(
         [(b, v) for b, v in sorted(w.items())], "bucket long, w long"
