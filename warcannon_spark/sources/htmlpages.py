@@ -33,6 +33,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Bump when the derivation changes — cached WET fixtures key on it
+# (the sources/pages.py PAGES_VERSION convention).
+HTML_PAGES_VERSION = 1
+
 
 def html_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side of the derivation (exact twin of HTML_PAGES_CTE)."""

@@ -183,10 +183,10 @@ def wet_fixture_dir(spark: SparkSession, sf_dir: str, files: int = 4) -> str:
     round-trip query reads these back and must hash-match the
     extraction oracle."""
     from ..operators.html import html_extract
-    from .htmlpages import html_pages_df
+    from .htmlpages import HTML_PAGES_VERSION, html_pages_df
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/tmp/wc_wet_fixture_v1_{tag}_f{files}"
+    path = f"/tmp/wc_wet_fixture_v{HTML_PAGES_VERSION}_{tag}_f{files}"
     done = os.path.join(path, "_DONE")
     if not os.path.exists(done):
         os.makedirs(path, exist_ok=True)
