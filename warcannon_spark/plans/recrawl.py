@@ -1,0 +1,359 @@
+"""Adaptive recrawl scheduling — change-rate estimation over fetch history.
+
+A long-running crawl must decide WHEN to refetch each URL: pages that
+change often deserve short revisit intervals, static pages long ones
+(Cho & Garcia-Molina, "Effective Page Refresh Policies for Web
+Crawlers", TODS 2003 — frequency estimation from observed change
+samples). The reference crawls each WARC once and has no revisit
+policy; north_rule's frontier makes recrawl a first-class scheduling
+input. This module estimates a per-URL change rate from the digest
+history of past fetches and derives the next fetch time with EXACT
+integer arithmetic (a deliberately rational variant of the
+Cho–Garcia-Molina estimator) so the DuckDB oracle is bit-identical —
+no transcendental math in oracle-checked output.
+
+Policy (all BIGINT, floor division):
+    avg_gap          = span / (n_obs − 1)
+    next_interval_s  = clamp(MIN_S, MAX_S,
+                             avg_gap · (n_obs − 1) / (3·n_changes + 1))
+    change_ratio_ppm = 10^6 · n_changes / (n_obs − 1)
+    next_fetch_ts    = last_fetch_ts + next_interval_s
+More observed changes → proportionally shorter interval; zero changes →
+the full observed span (capped at MAX_S = 30 days); every change →
+~gap/3 (floored at MIN_S = 1 hour).
+
+Plan shape: ONE exchange. The change detector is a lag window
+partitioned by url; the per-url aggregate that follows groups on the
+SAME key, so Catalyst reuses the hash partitioning — window + agg ride
+a single shuffle (plan-asserted in tests). The due-queue query reuses
+the frontier dequeue shape: rank-per-host window with a map-side
+WindowGroupLimit, capacity-bounded.
+
+At 100 TB: fetch history is the large table (n_obs rows per URL); it
+shuffles ONCE on url. The schedule output is one row per URL. The
+sitemap-hint join keys on url against the parsed sitemap entry table —
+per-URL rows on both sides, AQE picks broadcast when the sitemap side
+fits.
+
+Reference: c6fc/warcannon has no recrawl loop (each campaign is a
+single pass over a crawl's WARC set); new north_rule surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h64, h64_sql
+
+MIN_INTERVAL_S = 3600           # 1 hour floor
+MAX_INTERVAL_S = 30 * 86400     # 30 day ceiling
+BASE_TS = 1735689600            # 2025-01-01T00:00:00Z
+N_OBS = 6                       # fixture observations per URL
+NOW_TS = BASE_TS + 5 * 86400 + 90000  # due-queue evaluation instant
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic fetch-history fixture (htmlpages.py convention).
+#
+# Each URL is observed N_OBS times a day apart (plus a per-URL second
+# jitter). Between observations the page body changes when a portable
+# hash of (doc_id, obs) lands in a residue class whose width sets the
+# page's change temperature: d%5==0 hot (p=1/2), d%5∈{1,2} warm (1/5),
+# else cold (1/17). The digest is a hash of (doc_id, version) where
+# version counts cumulative changes — so consecutive digests differ
+# exactly at planted change points.
+
+
+def fetch_history_df(
+    spark: SparkSession, sf_dir: str, n_obs: int = N_OBS
+) -> DataFrame:
+    """(url, host, fetch_ts, digest) — n_obs rows per document URL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    j = F.col("obs")
+    hid = F.when(d % 3 == 0, F.lit(0)).otherwise(d % 37).cast("string")
+    rate = (
+        F.when(d % 5 == 0, F.lit(2))
+        .when((d % 5).isin(1, 2), F.lit(5))
+        .otherwise(F.lit(17))
+    )
+    chg = F.when(
+        (j > 0)
+        & (
+            h64(
+                F.concat(
+                    F.lit("chg|"), d.cast("string"), F.lit("|"),
+                    j.cast("string"),
+                )
+            )
+            % rate
+            == 0
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("obs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    obs = docs.select(
+        d.alias("doc_id"),
+        hid.alias("hid"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_obs - 1))).alias("obs"),
+    ).withColumn("version", F.sum(chg).over(w))
+    return obs.select(
+        F.concat(
+            F.lit("https://h"), F.col("hid"), F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("h"), F.col("hid"), F.lit(".example")).alias("host"),
+        (
+            F.lit(BASE_TS) + j * 86400 + F.col("doc_id") % 97
+        ).cast("long").alias("fetch_ts"),
+        h64(
+            F.concat(
+                F.lit("body|"), F.col("doc_id").cast("string"), F.lit("|"),
+                F.col("version").cast("string"),
+            )
+        ).alias("digest"),
+    )
+
+
+def _fetch_history_cte(n_obs: int = N_OBS) -> str:
+    chg_h = h64_sql(
+        "'chg|' || CAST(doc_id AS VARCHAR) || '|' || CAST(obs AS VARCHAR)"
+    )
+    dig_h = h64_sql(
+        "'body|' || CAST(doc_id AS VARCHAR) || '|' || CAST(version AS VARCHAR)"
+    )
+    return f"""fetch_obs AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN d.doc_id % 3 = 0 THEN 0 ELSE d.doc_id % 37 END
+              AS VARCHAR) AS hid,
+         o.obs,
+         CASE WHEN o.obs > 0 AND {chg_h} %
+                (CASE WHEN d.doc_id % 5 = 0 THEN 2
+                      WHEN d.doc_id % 5 IN (1, 2) THEN 5 ELSE 17 END) = 0
+              THEN 1 ELSE 0 END AS chg
+  FROM documents d CROSS JOIN (
+    SELECT unnest(range({n_obs})) AS obs
+  ) o
+),
+fetch_versioned AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY doc_id ORDER BY obs
+                           ROWS UNBOUNDED PRECEDING) AS version
+  FROM fetch_obs
+),
+fetch_history AS (
+  SELECT 'https://h' || hid || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+         'h' || hid || '.example' AS host,
+         CAST({BASE_TS} + obs * 86400 + doc_id % 97 AS BIGINT) AS fetch_ts,
+         {dig_h} AS digest
+  FROM fetch_versioned
+)"""
+
+
+FETCH_HISTORY_CTE = _fetch_history_cte()
+
+
+# ---------------------------------------------------------------------------
+# Estimator.
+
+
+def recrawl_schedule(history: DataFrame) -> DataFrame:
+    """Per-URL schedule: (url, host, n_obs, n_changes, change_ratio_ppm,
+    last_fetch_ts, next_interval_s, next_fetch_ts).
+
+    One exchange: the lag window partitions by url and the following
+    aggregate groups on the same key (partitioning reuse, plan-asserted).
+    URLs with a single observation get the MAX interval (nothing known).
+    """
+    w = Window.partitionBy("url").orderBy("fetch_ts")
+    changed = (
+        F.when(
+            F.lag("digest").over(w).isNotNull()
+            & (F.col("digest") != F.lag("digest").over(w)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    per_url = (
+        history.withColumn("__chg", changed)
+        .groupBy("url", "host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum("__chg").cast("long").alias("n_changes"),
+            F.min("fetch_ts").alias("__first_ts"),
+            F.max("fetch_ts").alias("last_fetch_ts"),
+        )
+    )
+    gaps = F.col("n_obs") - 1
+    span = F.col("last_fetch_ts") - F.col("__first_ts")
+    raw_interval = F.floor(span / (F.col("n_changes") * 3 + 1)).cast("long")
+    interval = F.when(gaps < 1, F.lit(MAX_INTERVAL_S).cast("long")).otherwise(
+        F.least(
+            F.lit(MAX_INTERVAL_S).cast("long"),
+            F.greatest(F.lit(MIN_INTERVAL_S).cast("long"), raw_interval),
+        )
+    )
+    ratio = F.when(gaps < 1, F.lit(0).cast("long")).otherwise(
+        F.floor(F.col("n_changes") * 1000000 / gaps).cast("long")
+    )
+    return per_url.select(
+        "url",
+        "host",
+        "n_obs",
+        "n_changes",
+        ratio.alias("change_ratio_ppm"),
+        "last_fetch_ts",
+        interval.alias("next_interval_s"),
+        (F.col("last_fetch_ts") + interval).alias("next_fetch_ts"),
+    )
+
+
+def recrawl_schedule_sql(history_cte: str) -> str:
+    """DuckDB twin over a CTE body defining ``fetch_history``."""
+    return f"""WITH {history_cte.strip()},
+flagged AS (
+  SELECT url, host, fetch_ts,
+         CASE WHEN lag(digest) OVER (PARTITION BY url ORDER BY fetch_ts)
+                   IS NOT NULL
+               AND digest <> lag(digest) OVER (PARTITION BY url
+                                               ORDER BY fetch_ts)
+              THEN 1 ELSE 0 END AS chg
+  FROM fetch_history
+),
+per_url AS (
+  SELECT url, host,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(sum(chg) AS BIGINT) AS n_changes,
+         min(fetch_ts) AS first_ts,
+         max(fetch_ts) AS last_fetch_ts
+  FROM flagged GROUP BY url, host
+),
+sized AS (
+  SELECT *,
+    CASE WHEN n_obs - 1 < 1 THEN CAST({MAX_INTERVAL_S} AS BIGINT)
+         ELSE least(CAST({MAX_INTERVAL_S} AS BIGINT),
+                    greatest(CAST({MIN_INTERVAL_S} AS BIGINT),
+                             (last_fetch_ts - first_ts)
+                               // (n_changes * 3 + 1)))
+    END AS next_interval_s,
+    CASE WHEN n_obs - 1 < 1 THEN CAST(0 AS BIGINT)
+         ELSE n_changes * 1000000 // (n_obs - 1) END AS change_ratio_ppm
+  FROM per_url
+)
+SELECT url, host, n_obs, n_changes, change_ratio_ppm, last_fetch_ts,
+       next_interval_s,
+       last_fetch_ts + next_interval_s AS next_fetch_ts
+FROM sized"""
+
+
+# ---------------------------------------------------------------------------
+# Due queue + sitemap hints.
+
+CHANGEFREQ_S = {
+    "always": 3600,
+    "hourly": 3600,
+    "daily": 86400,
+    "weekly": 604800,
+    "monthly": 2592000,
+    "yearly": 31536000,
+    "never": 31536000,
+}
+
+
+def recrawl_due_topk(
+    schedule: DataFrame, now_ts: int = NOW_TS, k: int = 4
+) -> DataFrame:
+    """Capacity-bounded due queue: the k most-overdue URLs per host at
+    ``now_ts`` — the frontier politeness dequeue shape (rank window per
+    host; Spark plants a map-side WindowGroupLimit before the exchange).
+    """
+    w = Window.partitionBy("host").orderBy(
+        F.col("next_fetch_ts").asc(), F.col("url").asc()
+    )
+    return (
+        schedule.where(F.col("next_fetch_ts") <= F.lit(now_ts))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("host", "rk", "url", "next_fetch_ts", "change_ratio_ppm")
+    )
+
+
+def recrawl_due_topk_sql(
+    history_cte: str, now_ts: int = NOW_TS, k: int = 4
+) -> str:
+    sched = recrawl_schedule_sql(history_cte)
+    return f"""WITH sched AS ({sched})
+SELECT host, rk, url, next_fetch_ts, change_ratio_ppm
+FROM (
+  SELECT host, url, next_fetch_ts, change_ratio_ppm,
+         CAST(row_number() OVER (PARTITION BY host
+                                 ORDER BY next_fetch_ts, url) AS BIGINT)
+           AS rk
+  FROM sched WHERE next_fetch_ts <= {now_ts}
+)
+WHERE rk <= {k}"""
+
+
+def recrawl_with_sitemap_hints(
+    schedule: DataFrame, entries: DataFrame
+) -> DataFrame:
+    """Fold sitemap ``changefreq`` into the observed schedule: the
+    effective interval is the SHORTER of the estimate and the site's
+    advertised cadence (a site saying "daily" bounds a cold estimate;
+    an estimate of 2h beats a site claiming "monthly"). URLs without a
+    sitemap entry keep their estimate. Join keys on url; AQE broadcasts
+    the sitemap side when it fits."""
+    freq = F.create_map(
+        *[F.lit(x) for kv in CHANGEFREQ_S.items() for x in kv]
+    )
+    hints = entries.select(
+        F.col("loc").alias("s_url"),
+        freq[F.col("changefreq")].cast("long").alias("sitemap_interval_s"),
+    )
+    eff = F.least(
+        F.col("next_interval_s"),
+        F.coalesce(F.col("sitemap_interval_s"), F.col("next_interval_s")),
+    )
+    return (
+        schedule.join(hints, schedule["url"] == hints["s_url"], "left")
+        .select(
+            "url",
+            "host",
+            "n_changes",
+            "next_interval_s",
+            F.coalesce(
+                "sitemap_interval_s", F.lit(None).cast("long")
+            ).alias("sitemap_interval_s"),
+            eff.alias("effective_interval_s"),
+            (F.col("last_fetch_ts") + eff).alias("effective_next_ts"),
+        )
+    )
+
+
+def recrawl_with_sitemap_hints_sql(
+    history_cte: str, entries_sql: str
+) -> str:
+    sched = recrawl_schedule_sql(history_cte)
+    cases = " ".join(
+        f"WHEN '{k}' THEN CAST({v} AS BIGINT)" for k, v in CHANGEFREQ_S.items()
+    )
+    return f"""WITH sched AS ({sched}),
+entries AS ({entries_sql}),
+hints AS (
+  SELECT loc AS s_url,
+         CASE changefreq {cases} ELSE NULL END AS sitemap_interval_s
+  FROM entries
+)
+SELECT s.url, s.host, s.n_changes, s.next_interval_s,
+       h.sitemap_interval_s,
+       least(s.next_interval_s,
+             COALESCE(h.sitemap_interval_s, s.next_interval_s))
+         AS effective_interval_s,
+       s.last_fetch_ts
+         + least(s.next_interval_s,
+                 COALESCE(h.sitemap_interval_s, s.next_interval_s))
+         AS effective_next_ts
+FROM sched s LEFT JOIN hints h ON s.url = h.s_url"""

@@ -1,0 +1,247 @@
+"""Redirect-chain resolution — follow 3xx Location chains to a terminus.
+
+A crawler's fetch results contain 301/302/307/308 rows whose ``location``
+points at another URL; the frontier must credit the FINAL landing URL
+(and its host) with the fetch, detect redirect loops, and cap runaway
+chains. The reference delegates this to the HTTP client inside each
+Lambda (follow-redirects at fetch time); a Spark-first engine resolves
+chains as a relational fixpoint over the whole fetch table at once.
+
+Algorithm — pointer doubling (the dedup.py connected-components trick):
+start from the redirect edge map ``u → (v, 1 hop)`` and compose it with
+itself ``log2(max_hops)`` times; after round i each row jumps up to
+``2^i`` hops (stopping early at a terminus). With ``max_hops`` a power
+of two the composition never overshoots the cap, so the result is
+bit-identical to a hop-by-hop walk truncated at ``max_hops`` — which is
+exactly what the DuckDB recursive-CTE oracle computes. A chain still
+sitting on a redirect source after ``max_hops`` hops is a loop or a
+too-long chain → disposition ``capped``; everything else ``resolved``.
+
+At 100 TB: redirect rows are a small fraction of fetches (the 3xx
+filter pushes to the scan); each doubling round is ONE self-join of the
+redirect map keyed on url — log2(max_hops) = 3 shuffles of the SMALL
+map, never of the fetch corpus. The final application is one join of
+fetches against the composed map (broadcast when the map fits, else a
+key-partitioned hash join), and the terminal-vs-source disposition probe
+is a left-semi against the redirect-source keys. No iteration count
+depends on data size — only on the hop cap.
+
+Reference: c6fc/warcannon worker fetch loop (HTTP client redirect
+following is implicit, per-request); north_rule frontier semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REDIRECT_STATUSES = (301, 302, 307, 308)
+MAX_HOPS = 8  # power of two: doubling composes to exactly this cap
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic fetch-results fixture (htmlpages.py convention).
+#
+# Planted structure over doc_id residues (url(d) = the pages.py url):
+#   * d % 10 ∈ {1, 2, 3} → redirect to url(d+1): chains of length 1–3
+#     ending on a 200 (…0→ no, 1→2→3→4 terminates at d%10==4).
+#   * d % 100 == 55 → redirect to url(d+1); d % 100 == 56 → redirect to
+#     url(d−1): a 2-cycle (loop) that must come out `capped`.
+#     (55 % 10 == 5 and 56 % 10 == 6, so the rules never collide.)
+#   * everything else → status 200, no location.
+# Status picks 301/302 by parity of d for variety; Location may point
+# past the corpus edge (d+1 > max doc_id) — an EXTERNAL terminus the
+# resolver must treat as terminal.
+
+
+def _url(d):
+    hid = F.when(d % 3 == 0, F.lit(0)).otherwise(d % 37).cast("string")
+    return F.concat(
+        F.lit("https://h"), hid, F.lit(".example/p/"), d.cast("string")
+    )
+
+
+def fetch_results_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, status, location) — deterministic fetch-results table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    is_loop_fwd = d % 100 == 55
+    is_loop_back = d % 100 == 56
+    is_chain = (d % 10).isin(1, 2, 3)
+    is_redirect = is_chain | is_loop_fwd | is_loop_back
+    status = F.when(
+        is_redirect, F.when(d % 2 == 0, F.lit(301)).otherwise(F.lit(302))
+    ).otherwise(F.lit(200))
+    location = (
+        F.when(is_loop_back, _url(d - 1))
+        .when(is_redirect, _url(d + 1))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return docs.select(
+        _url(d).alias("url"),
+        status.cast("int").alias("status"),
+        location.alias("location"),
+    )
+
+
+FETCH_RESULTS_CTE = """
+fetch_results AS (
+  SELECT
+    'https://h' || hid || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+    CAST(CASE WHEN is_redirect THEN CASE WHEN doc_id % 2 = 0 THEN 301 ELSE 302 END
+              ELSE 200 END AS INT) AS status,
+    CASE
+      WHEN doc_id % 100 = 56 THEN
+        'https://h' || CAST(CASE WHEN (doc_id - 1) % 3 = 0 THEN 0
+                                 ELSE (doc_id - 1) % 37 END AS VARCHAR)
+          || '.example/p/' || CAST(doc_id - 1 AS VARCHAR)
+      WHEN is_redirect THEN
+        'https://h' || CAST(CASE WHEN (doc_id + 1) % 3 = 0 THEN 0
+                                 ELSE (doc_id + 1) % 37 END AS VARCHAR)
+          || '.example/p/' || CAST(doc_id + 1 AS VARCHAR)
+      ELSE NULL
+    END AS location
+  FROM (
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 37 END
+                AS VARCHAR) AS hid,
+           (doc_id % 10 IN (1, 2, 3) OR doc_id % 100 IN (55, 56))
+             AS is_redirect
+    FROM documents
+  )
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Resolver.
+
+
+def resolve_redirects(
+    fetches: DataFrame,
+    max_hops: int = MAX_HOPS,
+    broadcast_map: bool = True,
+    materialize_rounds: bool = True,
+) -> DataFrame:
+    """(url, status, final_url, n_hops, disposition) for every fetch row.
+
+    * 200s: final_url = url, n_hops = 0, disposition ``resolved``.
+    * redirects: final_url = the chain terminus reached within
+      ``max_hops`` hops; ``capped`` when the terminus is still a
+      redirect source after the cap (loop or over-long chain).
+
+    ``max_hops`` must be a power of two (doubling reaches the cap
+    exactly; anything else would overshoot and diverge from the
+    hop-by-hop oracle semantics).
+
+    ``materialize_rounds`` localCheckpoints the composed map after each
+    round. Without it the self-join lineage doubles per round (round 3
+    re-derives the edge map 8×: 2^r−1 joins in one plan); with it each
+    round is ONE join job over the previous round's materialized output
+    — the O(log max_hops) compose the module docstring promises
+    (plan-asserted in tests). Set False only for fully-lazy plan
+    inspection.
+    """
+    if max_hops & (max_hops - 1):
+        raise ValueError("max_hops must be a power of two")
+    edges = (
+        fetches.where(
+            F.col("status").isin(*REDIRECT_STATUSES)
+            & F.col("location").isNotNull()
+        )
+        .select(F.col("url").alias("src"), F.col("location").alias("dst"))
+    )
+    # Pointer doubling: after round i, (src → dst) spans ≤ 2^(i+1) hops.
+    jump = edges.withColumn("hops", F.lit(1).cast("long"))
+    if materialize_rounds:
+        jump = jump.localCheckpoint()
+    rounds = max_hops.bit_length() - 1  # log2
+    for _ in range(rounds):
+        ext = jump.select(
+            F.col("src").alias("j_src"),
+            F.col("dst").alias("j_dst"),
+            F.col("hops").alias("j_hops"),
+        )
+        jump = (
+            jump.join(ext, jump["dst"] == ext["j_src"], "left")
+            .select(
+                "src",
+                F.coalesce("j_dst", "dst").alias("dst"),
+                (
+                    F.col("hops")
+                    + F.coalesce("j_hops", F.lit(0).cast("long"))
+                ).alias("hops"),
+            )
+        )
+        if materialize_rounds:
+            jump = jump.localCheckpoint()
+    sources = edges.select(F.col("src").alias("t_src")).distinct()
+    resolved = (
+        jump.join(sources, jump["dst"] == sources["t_src"], "left")
+        .select(
+            "src",
+            "dst",
+            "hops",
+            F.when(F.col("t_src").isNotNull(), F.lit("capped"))
+            .otherwise(F.lit("resolved"))
+            .alias("disposition"),
+        )
+    )
+    rmap = resolved.select(
+        F.col("src").alias("r_src"),
+        F.col("dst").alias("final_url"),
+        F.col("hops").alias("n_hops"),
+        F.col("disposition").alias("r_disp"),
+    )
+    # 3xx rows are typically ≲5% of fetches; broadcast the composed map
+    # by default, fall back to a key-partitioned hash join when the
+    # caller knows the map is too big for one executor.
+    if broadcast_map:
+        rmap = F.broadcast(rmap)
+    return (
+        fetches.join(
+            rmap,
+            fetches["url"] == F.col("r_src"),
+            "left",
+        )
+        .select(
+            "url",
+            "status",
+            F.coalesce("final_url", "url").alias("final_url"),
+            F.coalesce("n_hops", F.lit(0).cast("long")).alias("n_hops"),
+            F.coalesce("r_disp", F.lit("resolved")).alias("disposition"),
+        )
+    )
+
+
+def resolve_redirects_sql(
+    fetches_cte: str, max_hops: int = MAX_HOPS
+) -> str:
+    """DuckDB recursive-CTE twin of :func:`resolve_redirects` over a CTE
+    body defining a ``fetch_results`` relation — a hop-by-hop walk
+    truncated at ``max_hops`` (bit-identical to the doubling plan when
+    the cap is a power of two)."""
+    statuses = ", ".join(str(s) for s in REDIRECT_STATUSES)
+    return f"""WITH RECURSIVE {fetches_cte.strip()},
+edges AS (
+  SELECT url AS src, location AS dst FROM fetch_results
+  WHERE status IN ({statuses}) AND location IS NOT NULL
+),
+walk(src, dst, hops) AS (
+  SELECT src, dst, CAST(1 AS BIGINT) FROM edges
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON w.dst = e.src
+  WHERE w.hops < {max_hops}
+),
+final AS (
+  SELECT src, dst, hops,
+         CASE WHEN EXISTS (SELECT 1 FROM edges e WHERE e.src = walk.dst)
+              THEN 'capped' ELSE 'resolved' END AS disposition
+  FROM walk
+  WHERE hops = {max_hops}
+     OR NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = walk.dst)
+)
+SELECT f.url, f.status,
+       COALESCE(fin.dst, f.url) AS final_url,
+       COALESCE(fin.hops, 0) AS n_hops,
+       COALESCE(fin.disposition, 'resolved') AS disposition
+FROM fetch_results f LEFT JOIN final fin ON f.url = fin.src"""

@@ -2630,3 +2630,148 @@ def q_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _w, scored = train_linear_classifier(labeled, epochs=4)
     return scored
+
+
+# ---------------------------------------------------------------------------
+# Crawl-scheduling tier (round 5, session 2): sitemap ingestion, redirect
+# resolution, adaptive recrawl, anchor profiles.
+
+
+def _sitemap_oracle() -> str:
+    from .sources.sitemaps import sitemap_entries_sql
+
+    return sitemap_entries_sql()
+
+
+@_q("sitemap_ingest", _sitemap_oracle())
+def q_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (sources/sitemaps.py): per-host sitemaps.org
+    XML — urlsets plus the mega-host's two-level sitemapindex — parsed
+    into frontier seed rows (sitemap_url, host, loc, lastmod,
+    changefreq, priority). Parse is a map-side explode of native
+    regexps; index→child resolution is ONE broadcast join keyed on
+    sitemap_url (index references ≪ corpus). Reference: warcannon seeds
+    only from Athena CSV manifests; sitemaps are the standard
+    crawler-facing seed source the engine adds."""
+    from .sources.sitemaps import sitemap_entries, sitemaps_df
+
+    return sitemap_entries(sitemaps_df(spark, sf_dir))
+
+
+def _redirects_oracle() -> str:
+    from .plans.redirects import FETCH_RESULTS_CTE, resolve_redirects_sql
+
+    return resolve_redirects_sql(FETCH_RESULTS_CTE)
+
+
+@_q("redirect_resolution", _redirects_oracle())
+def q_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (plans/redirects.py): 3xx Location
+    chains resolved to their terminus by pointer DOUBLING —
+    log2(max_hops)=3 self-joins of the small redirect map, never a
+    per-hop pass over the fetch corpus — with loops and over-long
+    chains ``capped`` at 8 hops. The DuckDB oracle is a hop-by-hop
+    recursive CTE; hash-green proves the doubling plan is bit-identical
+    to the sequential walk (final url, exact hop count, disposition)
+    including the planted 2-cycles. Reference: the Lambda's HTTP client
+    follows redirects per-request; Spark resolves the whole table as
+    one relational fixpoint."""
+    from .plans.redirects import fetch_results_df, resolve_redirects
+
+    return resolve_redirects(fetch_results_df(spark, sf_dir))
+
+
+def _recrawl_oracle() -> str:
+    from .plans.recrawl import FETCH_HISTORY_CTE, recrawl_schedule_sql
+
+    return recrawl_schedule_sql(FETCH_HISTORY_CTE)
+
+
+@_q("recrawl_schedule", _recrawl_oracle())
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive recrawl scheduling (plans/recrawl.py): per-URL change
+    rates estimated from fetch-digest history (lag window) feed an
+    EXACT-integer refresh policy (a rational Cho–Garcia-Molina variant:
+    interval ∝ observed span / (3·changes + 1), clamped to [1h, 30d]).
+    Window + per-URL aggregate share ONE exchange (same key —
+    partitioning reuse, plan-asserted). Reference: warcannon is
+    single-pass per campaign; north_rule's frontier makes revisit
+    scheduling first-class."""
+    from .plans.recrawl import fetch_history_df, recrawl_schedule
+
+    return recrawl_schedule(fetch_history_df(spark, sf_dir))
+
+
+def _recrawl_due_oracle() -> str:
+    from .plans.recrawl import FETCH_HISTORY_CTE, recrawl_due_topk_sql
+
+    return recrawl_due_topk_sql(FETCH_HISTORY_CTE)
+
+
+@_q("recrawl_due_topk", _recrawl_due_oracle())
+def q_recrawl_due_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-bounded recrawl due-queue: the k most-overdue URLs per
+    host at a fixed evaluation instant — the frontier politeness
+    dequeue shape (rank window per host, map-side WindowGroupLimit
+    before the exchange). Hot pages (planted change temperature) are
+    due; cold ones are not."""
+    from .plans.recrawl import (
+        fetch_history_df,
+        recrawl_due_topk,
+        recrawl_schedule,
+    )
+
+    return recrawl_due_topk(recrawl_schedule(fetch_history_df(spark, sf_dir)))
+
+
+def _recrawl_hints_oracle() -> str:
+    from .plans.recrawl import (
+        FETCH_HISTORY_CTE,
+        recrawl_with_sitemap_hints_sql,
+    )
+    from .sources.sitemaps import sitemap_entries_sql
+
+    return recrawl_with_sitemap_hints_sql(
+        FETCH_HISTORY_CTE, sitemap_entries_sql()
+    )
+
+
+@_q("recrawl_sitemap_plan", _recrawl_hints_oracle())
+def q_recrawl_sitemap_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed schedule × advertised cadence: sitemap ``changefreq``
+    bounds the estimated interval (effective = min of the two; URLs
+    without a sitemap entry keep the estimate). One join keyed on url —
+    AQE broadcasts the sitemap side when it fits."""
+    from .plans.recrawl import (
+        fetch_history_df,
+        recrawl_schedule,
+        recrawl_with_sitemap_hints,
+    )
+    from .sources.sitemaps import sitemap_entries, sitemaps_df
+
+    return recrawl_with_sitemap_hints(
+        recrawl_schedule(fetch_history_df(spark, sf_dir)),
+        sitemap_entries(sitemaps_df(spark, sf_dir)),
+    )
+
+
+def _anchor_profiles_oracle() -> str:
+    from .operators.html import extract_anchor_profiles_sql
+    from .sources.htmlpages import HTML_PAGES_CTE
+
+    return extract_anchor_profiles_sql(HTML_PAGES_CTE.strip())
+
+
+@_q("anchor_text_profiles", _anchor_profiles_oracle())
+def q_anchor_text_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text profiles (operators/html.extract_anchor_profiles):
+    how the web describes each destination host — whole <a> tags
+    exploded from raw markup, href resolved with the outlink rules,
+    inner text cleaned with the WET rules (nested tags stripped — the
+    v2 corpus plants <b>-wrapped anchors), top-3 texts per dst_host by
+    a rank window (map-side WindowGroupLimit). Only exploded
+    (dst_host, anchor) pairs shuffle, partial-aggregated."""
+    from .operators.html import extract_anchor_profiles
+    from .sources.htmlpages import html_pages_df
+
+    return extract_anchor_profiles(html_pages_df(spark, sf_dir))

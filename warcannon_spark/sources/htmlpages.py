@@ -22,6 +22,10 @@ Planted structure (residues of doc_id) exercises every extraction rule:
   * links: one absolute href always; root-relative at ``d % 4 == 1``;
     protocol-relative at ``d % 6 == 2``; a mailto (must be dropped) at
     ``d % 11 == 3``.
+  * anchor texts: the absolute link's inner text is ``read doc {d%23}``
+    (23 distinct profiles per destination host), wrapped in a ``<b>``
+    at ``d % 9 == 4`` — anchor-profile extraction must strip nested
+    tags from link text (v2).
 
 At real scale this table is the WARC response payload column
 (``sources/warc.py``) or an Iceberg table of fetched bodies; everything
@@ -35,7 +39,7 @@ from pyspark.sql import functions as F
 
 # Bump when the derivation changes — cached WET fixtures key on it
 # (the sources/pages.py PAGES_VERSION convention).
-HTML_PAGES_VERSION = 1
+HTML_PAGES_VERSION = 2
 
 
 def html_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,8 +77,12 @@ def html_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             " done.</p>"
         ), nl,
         F.lit('<a href="https://h'), (d % 37).cast("string"),
-        F.lit('.example/out/'), (d % 11).cast("string"), F.lit('">abs</a>'),
-        nl,
+        F.lit('.example/out/'), (d % 11).cast("string"), F.lit('">'),
+        F.when(
+            d % 9 == 4,
+            F.concat(F.lit("<b>read</b> doc "), (d % 23).cast("string")),
+        ).otherwise(F.concat(F.lit("read doc "), (d % 23).cast("string"))),
+        F.lit("</a>"), nl,
         F.when(
             d % 4 == 1,
             F.concat(
@@ -127,7 +135,11 @@ html_pages AS (
       || '<p>' || text || '</p>' || chr(10)
       || '<p>Entities &lt;tag&gt; &quot;q&quot; &#39;s&nbsp;and &amp; done.</p>' || chr(10)
       || '<a href="https://h' || CAST(doc_id % 37 AS VARCHAR)
-      || '.example/out/' || CAST(doc_id % 11 AS VARCHAR) || '">abs</a>' || chr(10)
+      || '.example/out/' || CAST(doc_id % 11 AS VARCHAR) || '">'
+      || CASE WHEN doc_id % 9 = 4
+              THEN '<b>read</b> doc ' || CAST(doc_id % 23 AS VARCHAR)
+              ELSE 'read doc ' || CAST(doc_id % 23 AS VARCHAR) END
+      || '</a>' || chr(10)
       || CASE WHEN doc_id % 4 = 1
               THEN '<a href="/r/' || CAST(doc_id % 13 AS VARCHAR) || '">rel</a>' || chr(10)
               ELSE '' END

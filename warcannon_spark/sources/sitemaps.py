@@ -1,0 +1,268 @@
+"""Sitemap ingestion — XML sitemap / sitemap-index corpus and parser.
+
+The reference crawler seeds its work queue from Athena CSV manifests
+(warcannon `site_contents`/athena flows); a real web crawler's other
+first-class seed source is the sitemaps.org protocol: per-host
+``sitemap.xml`` files (``<urlset>`` of ``<url><loc/><lastmod/>
+<changefreq/><priority/></url>`` entries) plus two-level
+``<sitemapindex>`` files for hosts with more than 50k URLs. This module
+supplies both halves Spark-first:
+
+* a DETERMINISTIC synthetic sitemap corpus derived from the
+  driver-provided ``documents`` parquet (the htmlpages.py convention —
+  the same derivation written twice, Spark ops and a DuckDB CTE, so
+  every parse query has an exact SQL oracle). The mega-host
+  ``h0.example`` (~35% of pages, the politeness-skew host) gets a
+  sitemap INDEX referencing 4 child urlsets — exercising the two-level
+  resolution path; every other host gets a single urlset.
+* a parser that turns sitemap documents into frontier-ready seed rows
+  ``(sitemap_url, host, loc, lastmod, changefreq, priority)`` with
+  index→child resolution.
+
+Parsing is pure native Column expressions (``regexp_extract_all`` +
+``explode``) — sitemap XML is flat by spec (no nesting inside <url>),
+so the regex subset shared with DuckDB parses it exactly; no Python in
+the scan.
+
+At 100 TB: the corpus is one row per sitemap FILE (millions of rows,
+ ≤50 MB each by spec) scanned with the data-source partitioning; the
+urlset parse is a map-side explode (≤50k entries per file, bounded by
+spec); index resolution is ONE join keyed on sitemap_url whose probe
+side (index child references) is orders of magnitude smaller than the
+corpus — broadcast it, the urlset corpus never shuffles.
+
+Reference: c6fc/warcannon has no sitemap reader (seeds come from
+Athena CSV — userdata/*.csv); this is new training-pipeline surface
+following sitemaps.org §"XML format" and §"Sitemap index files".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Bump when the derivation changes — cached fixtures key on it.
+SITEMAPS_VERSION = 1
+
+# Shared Java∩RE2-subset patterns (the operators/html.py convention) —
+# same strings drive the Spark parse and the DuckDB oracle.
+URL_BLOCK_RE = "(?s)<url>.*?</url>"
+SITEMAP_BLOCK_RE = "(?s)<sitemap>.*?</sitemap>"
+LOC_RE = "(?s)<loc>(.*?)</loc>"
+LASTMOD_RE = "(?s)<lastmod>(.*?)</lastmod>"
+CHANGEFREQ_RE = "(?s)<changefreq>(.*?)</changefreq>"
+PRIORITY_RE = "(?s)<priority>(.*?)</priority>"
+
+_XML_HEAD = '<?xml version="1.0" encoding="UTF-8"?>'
+_MEGA_CHILDREN = 4  # h0.example urlset shards behind the index
+
+
+def sitemaps_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sitemap corpus: (sitemap_url, host, xml).
+
+    One urlset per non-mega host at ``https://<host>/sitemap.xml``; for
+    the mega host ``h0.example`` a sitemapindex at that path plus
+    ``sitemap_{0..3}.xml`` child urlsets (child = doc_id % 4). Entry
+    fields are pure residue functions of doc_id so the DuckDB CTE twin
+    reproduces the XML byte-for-byte.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    hid = F.when(d % 3 == 0, F.lit(0)).otherwise(d % 37).cast("string")
+    host = F.concat(F.lit("h"), hid, F.lit(".example"))
+    loc = F.concat(F.lit("https://"), host, F.lit("/p/"), d.cast("string"))
+    lastmod = F.concat(
+        F.lit("2026-"),
+        F.lpad((d % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((d % 28 + 1).cast("string"), 2, "0"),
+    )
+    changefreq = (
+        F.when(d % 3 == 0, F.lit("daily"))
+        .when(d % 3 == 1, F.lit("weekly"))
+        .otherwise(F.lit("monthly"))
+    )
+    priority = F.concat(F.lit("0."), (d % 10).cast("string"))
+    entry = F.concat(
+        F.lit("<url><loc>"), loc, F.lit("</loc><lastmod>"), lastmod,
+        F.lit("</lastmod><changefreq>"), changefreq,
+        F.lit("</changefreq><priority>"), priority,
+        F.lit("</priority></url>"),
+    )
+    # ALL h0.example docs shard into the index children — note hid==0
+    # also arises from d % 37 == 0 (the pages.py host rule), so the
+    # condition must match the HOST, not just d % 3, or a urlset would
+    # collide with the index at …/sitemap.xml.
+    sitemap_url = F.when(
+        (d % 3 == 0) | (d % 37 == 0),
+        F.concat(
+            F.lit("https://h0.example/sitemap_"),
+            (d % 4).cast("string"),
+            F.lit(".xml"),
+        ),
+    ).otherwise(F.concat(F.lit("https://"), host, F.lit("/sitemap.xml")))
+
+    tagged = docs.select(
+        sitemap_url.alias("sitemap_url"),
+        host.alias("host"),
+        d.alias("doc_id"),
+        entry.alias("entry"),
+    )
+    # Deterministic ordered concat: sort the collected (doc_id, entry)
+    # structs, then join — collect_list alone has no order guarantee.
+    urlsets = tagged.groupBy("sitemap_url", "host").agg(
+        F.concat(
+            F.lit(_XML_HEAD + "\n<urlset>"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "entry"))),
+                    lambda x: x["entry"],
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    index_body = "".join(
+        f"<sitemap><loc>https://h0.example/sitemap_{k}.xml</loc></sitemap>"
+        for k in range(_MEGA_CHILDREN)
+    )
+    index = spark.createDataFrame(
+        [
+            (
+                "https://h0.example/sitemap.xml",
+                "h0.example",
+                f"{_XML_HEAD}\n<sitemapindex>{index_body}</sitemapindex>",
+            )
+        ],
+        "sitemap_url string, host string, xml string",
+    )
+    return urlsets.unionByName(index)
+
+
+def _parse_urlsets(leaves: DataFrame) -> DataFrame:
+    """Explode <url> blocks of urlset documents into entry rows."""
+    block = F.col("__block")
+    return (
+        leaves.select(
+            "sitemap_url",
+            "host",
+            F.explode(
+                F.regexp_extract_all(F.col("xml"), F.lit(URL_BLOCK_RE), 0)
+            ).alias("__block"),
+        )
+        .select(
+            "sitemap_url",
+            "host",
+            F.regexp_extract(block, LOC_RE, 1).alias("loc"),
+            F.regexp_extract(block, LASTMOD_RE, 1).alias("lastmod"),
+            F.regexp_extract(block, CHANGEFREQ_RE, 1).alias("changefreq"),
+            F.regexp_extract(block, PRIORITY_RE, 1)
+            .cast("double")
+            .alias("priority"),
+        )
+        .where(F.col("loc") != "")
+    )
+
+
+def sitemap_entries(corpus: DataFrame) -> DataFrame:
+    """Parse a sitemap corpus into seed rows, resolving one index level.
+
+    Roots are the per-host ``…/sitemap.xml`` documents. A root that is a
+    ``<sitemapindex>`` contributes the corpus documents its child
+    ``<loc>``s reference (one join: child-reference side is tiny →
+    broadcast); a root urlset contributes itself. Child documents are
+    reached only via their index (the sitemaps.org discovery contract),
+    so no entry is emitted twice. Nested indexes (index→index) are out
+    of spec and resolve to zero entries by construction.
+    """
+    roots = corpus.where(F.col("sitemap_url").endswith("/sitemap.xml"))
+    is_index = F.col("xml").contains("<sitemapindex>")
+    child_refs = roots.where(is_index).select(
+        F.explode(
+            F.regexp_extract_all(F.col("xml"), F.lit(SITEMAP_BLOCK_RE), 0)
+        ).alias("__ref")
+    ).select(F.regexp_extract("__ref", LOC_RE, 1).alias("child_url"))
+    children = corpus.join(
+        F.broadcast(child_refs),
+        corpus["sitemap_url"] == child_refs["child_url"],
+        "inner",
+    ).select("sitemap_url", "host", "xml")
+    leaves = roots.where(~is_index).select(
+        "sitemap_url", "host", "xml"
+    ).unionByName(children)
+    return _parse_urlsets(leaves)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins. `documents` is a pre-registered view.
+
+SITEMAPS_CTE = f"""
+sitemap_tagged AS (
+  SELECT
+    CASE WHEN doc_id % 3 = 0 OR doc_id % 37 = 0
+         THEN 'https://h0.example/sitemap_' || CAST(doc_id % 4 AS VARCHAR) || '.xml'
+         ELSE 'https://' || host || '/sitemap.xml' END AS sitemap_url,
+    host, doc_id,
+    '<url><loc>https://' || host || '/p/' || CAST(doc_id AS VARCHAR)
+      || '</loc><lastmod>2026-'
+      || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-'
+      || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+      || '</lastmod><changefreq>'
+      || CASE WHEN doc_id % 3 = 0 THEN 'daily'
+              WHEN doc_id % 3 = 1 THEN 'weekly' ELSE 'monthly' END
+      || '</changefreq><priority>0.' || CAST(doc_id % 10 AS VARCHAR)
+      || '</priority></url>' AS entry
+  FROM (
+    SELECT doc_id,
+           'h' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 37 END
+                       AS VARCHAR) || '.example' AS host
+    FROM documents
+  )
+),
+sitemaps AS (
+  SELECT sitemap_url, host,
+         '{_XML_HEAD}' || chr(10) || '<urlset>'
+           || string_agg(entry, '' ORDER BY doc_id) || '</urlset>' AS xml
+  FROM sitemap_tagged
+  GROUP BY sitemap_url, host
+  UNION ALL
+  SELECT 'https://h0.example/sitemap.xml', 'h0.example',
+         '{_XML_HEAD}' || chr(10) || '<sitemapindex>'
+           || {"||".join(chr(39) + f"<sitemap><loc>https://h0.example/sitemap_{k}.xml</loc></sitemap>" + chr(39) for k in range(_MEGA_CHILDREN))}
+           || '</sitemapindex>'
+)"""
+
+
+def sitemap_entries_sql() -> str:
+    """DuckDB twin of :func:`sitemap_entries` over SITEMAPS_CTE."""
+    return f"""WITH {SITEMAPS_CTE.strip()},
+roots AS (
+  SELECT * FROM sitemaps WHERE sitemap_url LIKE '%/sitemap.xml'
+),
+child_refs AS (
+  SELECT regexp_extract(ref, '{LOC_RE}', 1) AS child_url
+  FROM (
+    SELECT unnest(regexp_extract_all(xml, '{SITEMAP_BLOCK_RE}', 0)) AS ref
+    FROM roots WHERE xml LIKE '%<sitemapindex>%'
+  )
+),
+leaves AS (
+  SELECT sitemap_url, host, xml FROM roots
+  WHERE xml NOT LIKE '%<sitemapindex>%'
+  UNION ALL
+  SELECT s.sitemap_url, s.host, s.xml
+  FROM sitemaps s JOIN child_refs c ON s.sitemap_url = c.child_url
+),
+blocks AS (
+  SELECT sitemap_url, host,
+         unnest(regexp_extract_all(xml, '{URL_BLOCK_RE}', 0)) AS b
+  FROM leaves
+)
+SELECT sitemap_url, host,
+       regexp_extract(b, '{LOC_RE}', 1) AS loc,
+       regexp_extract(b, '{LASTMOD_RE}', 1) AS lastmod,
+       regexp_extract(b, '{CHANGEFREQ_RE}', 1) AS changefreq,
+       CAST(regexp_extract(b, '{PRIORITY_RE}', 1) AS DOUBLE) AS priority
+FROM blocks
+WHERE regexp_extract(b, '{LOC_RE}', 1) <> ''"""
