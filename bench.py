@@ -318,6 +318,11 @@ def main() -> None:
         "mixture_epoch_sample",
         "global_shuffle",
         "ann_cosine_topk",
+        "sitemap_ingest",
+        "redirect_resolution",
+        "recrawl_schedule",
+        "anchor_text_profiles",
+        "url_normalize",
         "event_sessions",
         "order_priority_counts",
         "decontaminate",

@@ -347,3 +347,79 @@ def test_anchor_profiles_corpus_shuffles_only_pairs(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "WindowGroupLimit" in plan, plan
     assert "HashAggregate" in plan and "partial_count" in plan.lower() or True
+
+
+# ---------------------------------------------------------------------------
+# URL normalization + robots sitemap discovery (session 2).
+
+
+def test_normalize_url_rule_table(spark):
+    from warcannon_spark.functions.urls import normalize_url
+
+    cases = [
+        ("https://a.example/p?b=2&a=1#frag", "https://a.example/p?a=1&b=2"),
+        ("http://a.example:80/x", "http://a.example/x"),
+        ("https://a.example:443/x", "https://a.example/x"),
+        ("https://a.example:8443/x", "https://a.example:8443/x"),
+        ("https://a.example", "https://a.example/"),
+        ("https://a.example#top", "https://a.example/"),
+        ("https://a.example/p?utm_source=x&utm_medium=y", "https://a.example/p"),
+        ("https://a.example/p?gclid=1&z=9", "https://a.example/p?z=9"),
+        ("https://a.example/p?a=1&&b=2", "https://a.example/p?a=1&b=2"),
+        ("https://a.example:443?a=1", "https://a.example/?a=1"),
+        # utm as a VALUE (not name) survives; name-prefix only
+        ("https://a.example/p?q=utm_source", "https://a.example/p?q=utm_source"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    out = {
+        r["url"]: r["n"]
+        for r in df.select(
+            "url", normalize_url(F.col("url")).alias("n")
+        ).collect()
+    }
+    for u, want in cases:
+        assert out[u] == want, (u, out[u], want)
+
+
+def test_normalize_url_plan_is_pure_native(spark):
+    """The normalizer must stay JVM-side: no Python eval node."""
+    from warcannon_spark.functions.urls import normalize_url
+
+    df = spark.range(10).select(
+        F.concat(F.lit("https://h.example/p?b=1&a="), F.col("id")).alias("u")
+    )
+    plan = plan_str(df.select(normalize_url(F.col("u")).alias("n")))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sitemap_directives_extraction(spark):
+    from warcannon_spark.plans.robots import sitemap_directives
+
+    robots = spark.createDataFrame(
+        [
+            ("a", "User-agent: *\nDisallow: /x\nSitemap: https://a/s.xml"),
+            ("b", "SITEMAP:\thttps://b/s1.xml\n  sitemap: https://b/s2.xml"),
+            ("c", "User-agent: *\nAllow: /"),
+            ("d", "# Sitemap: https://d/commented.xml"),
+        ],
+        "host string, robots_txt string",
+    )
+    rows = sitemap_directives(robots).collect()
+    got = sorted((r["host"], r["sitemap_url"]) for r in rows)
+    assert got == [
+        ("a", "https://a/s.xml"),
+        ("b", "https://b/s1.xml"),
+        ("b", "https://b/s2.xml"),
+    ]
+
+
+def test_priority_blend_is_capacity_bounded_and_scored(spark, sf_dir):
+    from warcannon_spark.queries import QUERIES
+
+    out = QUERIES["crawl_priority_blend"](spark, sf_dir).toPandas()
+    assert (out.groupby("host").size() <= 2).all()
+    assert (out.rk <= 2).all()
+    # the mega host's in-link mass dominates its due URLs' scores
+    if (out.host == "h0.example").any():
+        h0 = out[out.host == "h0.example"].priority_score.max()
+        assert h0 >= out.priority_score.median()

@@ -65,3 +65,81 @@ def canonical_url(col: Column | str) -> Column:
 def canonical_hash(col: Column | str) -> Column:
     """The frontier key: xxhash64 of the canonical URL (north_star)."""
     return F.xxhash64(canonical_url(col))
+
+
+# ---------------------------------------------------------------------------
+# Native URL normalization (round 5, session 2).
+#
+# canonicalize_batch above is the PERMISSIVE frontier-key canonicalizer
+# (arbitrary scheme, opaque passthrough) as an Arrow-batched pandas UDF.
+# normalize_url is the TRAINING-PIPELINE normalizer: pure native Column
+# expressions (whole-stage codegen, zero Python) restricted to http(s),
+# adding what dedup cares about — tracking-parameter removal. Rules:
+#   * fragment dropped;
+#   * default port stripped (http:80 / https:443);
+#   * empty path → '/';
+#   * query params: tracking params dropped (name starts with 'utm_' or
+#     ∈ TRACKING_NAMES), empties dropped, rest sorted bytewise; a query
+#     left empty loses its '?'.
+# Everything is in the Java∩RE2 subset (no lookaheads — RE2 has none),
+# so a DuckDB twin reproduces it byte-for-byte; only the replacement
+# syntax differs per engine ($1 vs \1).
+
+TRACKING_NAMES = (
+    "gclid", "fbclid", "msclkid", "mc_eid", "igshid", "ref_src",
+)
+_FRAGMENT_RE = "#.*"
+_HTTP_PORT_RE = "^(http://[^/:?]+):80([/?]|$)"
+_HTTPS_PORT_RE = "^(https://[^/:?]+):443([/?]|$)"
+_QUERY_TAIL_RE = "\\?.*"
+_HOST_ONLY_RE = "^(https?://[^/?]+)$"
+_QUERY_RE = "\\?(.*)$"
+_PARAM_NAME_RE = "^([^=]*)"
+
+
+def normalize_url(col: Column) -> Column:
+    base = F.regexp_replace(col, _FRAGMENT_RE, "")
+    base = F.regexp_replace(base, _HTTP_PORT_RE, "$1$2")
+    base = F.regexp_replace(base, _HTTPS_PORT_RE, "$1$2")
+    path_part = F.regexp_replace(
+        F.regexp_replace(base, _QUERY_TAIL_RE, ""), _HOST_ONLY_RE, "$1/"
+    )
+    query = F.regexp_extract(base, _QUERY_RE, 1)
+
+    def keep(p: Column) -> Column:
+        name = F.regexp_extract(p, _PARAM_NAME_RE, 1)
+        return (
+            (p != "")
+            & ~name.startswith("utm_")
+            & ~name.isin(*TRACKING_NAMES)
+        )
+
+    kept = F.array_sort(F.filter(F.split(query, "&"), keep))
+    return F.when(
+        F.size(kept) > 0,
+        F.concat(path_part, F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(path_part)
+
+
+def normalize_url_sql(expr: str) -> str:
+    """DuckDB twin of :func:`normalize_url` (same pattern constants;
+    ``\\1`` replacement syntax instead of Spark's ``$1``)."""
+    names = ", ".join(f"'{n}'" for n in TRACKING_NAMES)
+    base = f"regexp_replace({expr}, '{_FRAGMENT_RE}', '')"
+    base = f"regexp_replace({base}, '{_HTTP_PORT_RE}', '\\1\\2')"
+    base = f"regexp_replace({base}, '{_HTTPS_PORT_RE}', '\\1\\2')"
+    path_part = (
+        f"regexp_replace(regexp_replace({base}, '{_QUERY_TAIL_RE}', ''),"
+        f" '{_HOST_ONLY_RE}', '\\1/')"
+    )
+    query = f"regexp_extract({base}, '{_QUERY_RE}', 1)"
+    kept = (
+        f"list_sort(list_filter(str_split({query}, '&'), p -> p <> ''"
+        f" AND NOT starts_with(regexp_extract(p, '{_PARAM_NAME_RE}', 1),"
+        f" 'utm_') AND regexp_extract(p, '{_PARAM_NAME_RE}', 1)"
+        f" NOT IN ({names})))"
+    )
+    return (
+        f"CASE WHEN len({kept}) > 0 THEN {path_part} || '?' ||"
+        f" array_to_string({kept}, '&') ELSE {path_part} END"
+    )

@@ -325,3 +325,27 @@ def robots_allowed(
 
     gate_udf = F.pandas_udf(gate, BooleanType())
     return gate_udf(F.col(host_col), F.col(path_col))
+
+
+# ---------------------------------------------------------------------------
+# Sitemap discovery (round 5, session 2). RFC 9309 §2.3 / sitemaps.org:
+# `Sitemap:` lines are GLOBAL directives (outside any user-agent group),
+# so extraction ignores group structure — one native regexp over the
+# body, exploded; no Python in the scan. Shared pattern drives the
+# DuckDB oracle twin.
+
+SITEMAP_DIRECTIVE_RE = "(?im)^[ \\t]*sitemap:[ \\t]*([^ \\t\\r\\n]+)"
+
+
+def sitemap_directives(robots: DataFrame) -> DataFrame:
+    """(host, sitemap_url) — every `Sitemap:` directive per host's
+    robots.txt. Feeds sources/sitemaps.sitemap_entries for the
+    robots → sitemap → frontier seed chain."""
+    return robots.select(
+        "host",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("robots_txt"), F.lit(SITEMAP_DIRECTIVE_RE), 1
+            )
+        ).alias("sitemap_url"),
+    )

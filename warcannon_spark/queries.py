@@ -2775,3 +2775,256 @@ def q_anchor_text_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.htmlpages import html_pages_df
 
     return extract_anchor_profiles(html_pages_df(spark, sf_dir))
+
+
+_DIRTY_URLS_CTE = """
+dirty_urls AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 3 THEN 'http://' || host || ':80'
+         WHEN doc_id % 6 = 0 THEN 'https://' || host || ':443'
+         ELSE 'https://' || host END
+    || CASE WHEN doc_id % 11 = 5 THEN ''
+            ELSE '/p/' || CAST(doc_id AS VARCHAR) END
+    || CASE WHEN doc_id % 3 = 0
+            THEN '?z=' || CAST(doc_id % 7 AS VARCHAR)
+                 || '&utm_campaign=x&a=' || CAST(doc_id % 5 AS VARCHAR)
+            WHEN doc_id % 3 = 1 THEN '?utm_source=news'
+            ELSE '' END
+    || CASE WHEN doc_id % 4 = 2 THEN '#frag' || CAST(doc_id % 13 AS VARCHAR)
+            ELSE '' END AS url
+  FROM (
+    SELECT doc_id,
+           'h' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 37 END
+                       AS VARCHAR) || '.example' AS host
+    FROM documents
+  )
+)"""
+
+
+def _dirty_urls_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _DIRTY_URLS_CTE: URLs with planted fragments,
+    default ports, tracking params, unsorted params, empty paths."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    hid = F.when(d % 3 == 0, F.lit(0)).otherwise(d % 37).cast("string")
+    host = F.concat(F.lit("h"), hid, F.lit(".example"))
+    ds = d.cast("string")
+    url = F.concat(
+        F.when(d % 5 == 3, F.concat(F.lit("http://"), host, F.lit(":80")))
+        .when(d % 6 == 0, F.concat(F.lit("https://"), host, F.lit(":443")))
+        .otherwise(F.concat(F.lit("https://"), host)),
+        F.when(d % 11 == 5, F.lit("")).otherwise(
+            F.concat(F.lit("/p/"), ds)
+        ),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("?z="), (d % 7).cast("string"),
+                F.lit("&utm_campaign=x&a="), (d % 5).cast("string"),
+            ),
+        )
+        .when(d % 3 == 1, F.lit("?utm_source=news"))
+        .otherwise(F.lit("")),
+        F.when(
+            d % 4 == 2, F.concat(F.lit("#frag"), (d % 13).cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    return docs.select(d.alias("doc_id"), url.alias("url"))
+
+
+def _url_normalize_oracle() -> str:
+    from .functions.urls import normalize_url_sql
+
+    norm = normalize_url_sql("url")
+    return f"""WITH {_DIRTY_URLS_CTE.strip()}
+SELECT url, {norm} AS normalized_url,
+       {h64_sql(norm)} AS url_key
+FROM dirty_urls"""
+
+
+@_q("url_normalize", _url_normalize_oracle())
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline URL normalization (functions/urls.normalize_url):
+    fragment off, default ports stripped, empty path → '/', tracking
+    params (utm_*, gclid, …) dropped, survivors sorted bytewise, empty
+    query loses its '?'. ALL native Column expressions in the Java∩RE2
+    subset — whole-stage codegen, zero Python, unlike the permissive
+    pandas-UDF frontier canonicalizer (C14) it complements. The planted
+    dirty corpus exercises every rule; url_key is the portable h64 of
+    the normalized form (the dedup/frontier join key)."""
+    from .functions.urls import normalize_url
+
+    dirty = _dirty_urls_df(spark, sf_dir)
+    norm = normalize_url(F.col("url"))
+    return dirty.select(
+        "url",
+        norm.alias("normalized_url"),
+        h64(norm).alias("url_key"),
+    )
+
+
+def _robots_sitemap_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host robots.txt bodies with planted Sitemap: directives —
+    hid%2==1 hosts advertise their sitemap (mega h0 does NOT — found
+    via convention instead); hid%8==5 hosts advertise a second shard
+    and surrounding agent groups that extraction must ignore."""
+    pages = pages_df(spark, sf_dir)
+    hosts = pages.select("host").distinct()
+    hid = F.regexp_extract("host", r"h(\d+)", 1).cast("int")
+    txt = (
+        F.when(
+            hid % 8 == 5,
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /tmp\nSitemap: https://"),
+                F.col("host"),
+                F.lit("/sitemap.xml\nsitemap:   https://"),
+                F.col("host"),
+                F.lit("/sitemap_extra.xml\nUser-agent: bot\nAllow: /"),
+            ),
+        )
+        .when(
+            hid % 2 == 1,
+            F.concat(
+                F.lit("User-agent: *\nAllow: /\nSitemap: https://"),
+                F.col("host"),
+                F.lit("/sitemap.xml"),
+            ),
+        )
+        .otherwise(F.lit("User-agent: *\nAllow: /"))
+    )
+    return hosts.select("host", txt.alias("robots_txt"))
+
+
+def _robots_sitemap_oracle() -> str:
+    from .plans.robots import SITEMAP_DIRECTIVE_RE
+
+    return f"""WITH {PAGES_CTE},
+hosts AS (
+  SELECT DISTINCT host,
+         CAST(regexp_extract(host, 'h(\\d+)', 1) AS INT) AS hid
+  FROM pages
+),
+bodies AS (
+  SELECT host,
+    CASE WHEN hid % 8 = 5 THEN
+      'User-agent: *' || chr(10) || 'Disallow: /tmp' || chr(10)
+        || 'Sitemap: https://' || host || '/sitemap.xml' || chr(10)
+        || 'sitemap:   https://' || host || '/sitemap_extra.xml' || chr(10)
+        || 'User-agent: bot' || chr(10) || 'Allow: /'
+    WHEN hid % 2 = 1 THEN
+      'User-agent: *' || chr(10) || 'Allow: /' || chr(10)
+        || 'Sitemap: https://' || host || '/sitemap.xml'
+    ELSE 'User-agent: *' || chr(10) || 'Allow: /' END AS robots_txt
+  FROM hosts
+)
+SELECT host,
+       unnest(regexp_extract_all(robots_txt, '{SITEMAP_DIRECTIVE_RE}', 1))
+         AS sitemap_url
+FROM bodies"""
+
+
+@_q("robots_sitemap_discovery", _robots_sitemap_oracle())
+def q_robots_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (plans/robots.sitemap_directives):
+    `Sitemap:` lines are GLOBAL per RFC 9309 §2.3 — extraction is one
+    native regexp over the body (case-insensitive, whitespace-tolerant,
+    multiple directives per file), ignoring user-agent group structure.
+    Closes the crawl loop robots → sitemap → seeds: the discovered URLs
+    key straight into sources/sitemaps.sitemap_entries."""
+    from .plans.robots import sitemap_directives
+
+    return sitemap_directives(_robots_sitemap_fixture(spark, sf_dir))
+
+
+def _priority_blend_oracle() -> str:
+    from .operators.html import extract_outlinks_sql
+    from .plans.recrawl import FETCH_HISTORY_CTE, recrawl_due_topk_sql
+    from .sources.htmlpages import HTML_PAGES_CTE
+    from .sources.sitemaps import sitemap_entries_sql
+
+    return f"""WITH due AS ({recrawl_due_topk_sql(FETCH_HISTORY_CTE)}),
+indeg AS (
+  SELECT dst_host, CAST(sum(n_links) AS BIGINT) AS in_links
+  FROM ({extract_outlinks_sql(HTML_PAGES_CTE.strip())})
+  GROUP BY dst_host
+),
+ent AS ({sitemap_entries_sql()}),
+scored AS (
+  SELECT due.host, due.url,
+         COALESCE(i.in_links, 0) * 4
+           + CASE e.changefreq WHEN 'daily' THEN 3 WHEN 'weekly' THEN 2
+                               WHEN 'monthly' THEN 1 ELSE 0 END * 2
+           + CASE WHEN due.change_ratio_ppm >= 500000 THEN 1 ELSE 0 END
+           AS priority_score
+  FROM due
+  LEFT JOIN indeg i ON due.host = i.dst_host
+  LEFT JOIN ent e ON due.url = e.loc
+)
+SELECT host, rk, url, priority_score
+FROM (
+  SELECT host, url, priority_score,
+         CAST(row_number() OVER (PARTITION BY host
+                                 ORDER BY priority_score DESC, url)
+              AS BIGINT) AS rk
+  FROM scored
+)
+WHERE rk <= 2"""
+
+
+@_q("crawl_priority_blend", _priority_blend_oracle())
+def q_crawl_priority_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scheduler signal fusion: the recrawl due-queue re-ranked by
+    authority and advertised cadence — host in-link mass (from the real
+    markup's outlink harvest) × sitemap changefreq weight × overdue-heat
+    flag, all exact-integer, top-2 per host. The shape a production
+    frontier uses to spend its politeness budget on the URLs that
+    matter. Joins: due←indegree on host, due←sitemap entries on url —
+    both sides per-host/per-url aggregates, AQE broadcasts the small
+    ones."""
+    from .operators.html import extract_outlinks
+    from .plans.recrawl import (
+        fetch_history_df,
+        recrawl_due_topk,
+        recrawl_schedule,
+    )
+    from .sources.htmlpages import html_pages_df
+    from .sources.sitemaps import sitemap_entries, sitemaps_df
+
+    due = recrawl_due_topk(recrawl_schedule(fetch_history_df(spark, sf_dir)))
+    indeg = (
+        extract_outlinks(html_pages_df(spark, sf_dir))
+        .groupBy("dst_host")
+        .agg(F.sum("n_links").cast("long").alias("in_links"))
+    )
+    ent = sitemap_entries(sitemaps_df(spark, sf_dir)).select(
+        F.col("loc").alias("e_loc"), "changefreq"
+    )
+    freq_w = (
+        F.when(F.col("changefreq") == "daily", F.lit(3))
+        .when(F.col("changefreq") == "weekly", F.lit(2))
+        .when(F.col("changefreq") == "monthly", F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    scored = (
+        due.join(indeg, due["host"] == indeg["dst_host"], "left")
+        .join(ent, due["url"] == ent["e_loc"], "left")
+        .select(
+            "host",
+            "url",
+            (
+                F.coalesce("in_links", F.lit(0).cast("long")) * 4
+                + freq_w * 2
+                + F.when(
+                    F.col("change_ratio_ppm") >= 500000, F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("priority_score"),
+        )
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority_score").desc(), F.col("url").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 2)
+        .select("host", "rk", "url", "priority_score")
+    )
