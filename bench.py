@@ -323,6 +323,8 @@ def main() -> None:
         "recrawl_schedule",
         "anchor_text_profiles",
         "url_normalize",
+        "mirror_host_detection",
+        "crawl_trap_profile",
         "event_sessions",
         "order_priority_counts",
         "decontaminate",

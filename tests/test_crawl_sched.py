@@ -423,3 +423,75 @@ def test_priority_blend_is_capacity_bounded_and_scored(spark, sf_dir):
     if (out.host == "h0.example").any():
         h0 = out[out.host == "h0.example"].priority_score.max()
         assert h0 >= out.priority_score.median()
+
+
+# ---------------------------------------------------------------------------
+# Host hygiene: mirrors + traps (session 2).
+
+
+def test_mirror_detection_flags_full_mirrors_only(spark, sf_dir):
+    from warcannon_spark.operators.hostprofile import (
+        host_pages_df,
+        mirror_host_pairs,
+    )
+
+    out = mirror_host_pairs(host_pages_df(spark, sf_dir)).toPandas()
+    flagged = out[out.is_mirror]
+    # every planted m{hid} mirror is caught at exactly 100% overlap
+    assert len(flagged) >= 1
+    assert (flagged.overlap_ppm == 1_000_000).all()
+    assert all(
+        a.lstrip("h").split(".")[0] == b.lstrip("m").split(".")[0]
+        for a, b in zip(flagged.host_a, flagged.host_b)
+    )
+    # and nothing else is
+    assert not any(
+        not b.startswith("m") for b in flagged.host_b
+    )
+
+
+def test_mirror_partial_overlap_underreports(spark):
+    """The conservative estimator: a 50%-overlapping pair reports
+    ≤ 50% — never inflates toward a false mirror flag."""
+    from warcannon_spark.operators.hostprofile import mirror_host_pairs
+
+    rows = [("a", i) for i in range(20)] + [("b", i) for i in range(10, 30)]
+    pages = spark.createDataFrame(
+        [(h, f"u{h}{d}", d) for h, d in rows],
+        "host string, url string, digest long",
+    )
+    out = mirror_host_pairs(pages, k=16).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["overlap_ppm"] <= 500_000 and not r["is_mirror"]
+
+
+def test_trap_profile_signals(spark, sf_dir):
+    from warcannon_spark.operators.hostprofile import (
+        crawl_trap_profile,
+        host_pages_df,
+    )
+
+    out = crawl_trap_profile(host_pages_df(spark, sf_dir)).toPandas()
+    prof = out.set_index("host")
+    # every host hosting a d%10==7 doc has 3 extra same-digest URLs;
+    # dup ratio must be > 0 there and n_digests < n_urls
+    dup = out[out.dup_url_ppm > 0]
+    assert (dup.n_digests < dup.n_urls).all()
+    # planted depth-9 paths flag their hosts
+    deep = out[out.max_depth >= 9]
+    assert (deep.is_trap).all()
+    # mirrors have clean URL spaces (no param plants on m hosts)
+    for h in prof.index:
+        if h.startswith("m"):
+            assert prof.loc[h, "n_param_urls"] == 0
+
+
+def test_mirror_sketch_window_is_rank_limited(spark, sf_dir):
+    from warcannon_spark.operators.hostprofile import (
+        host_pages_df,
+        mirror_host_pairs,
+    )
+
+    plan = plan_str(mirror_host_pairs(host_pages_df(spark, sf_dir)))
+    assert "WindowGroupLimit" in plan, plan

@@ -1,0 +1,272 @@
+"""Host-level crawl hygiene — mirror detection and crawl-trap profiling.
+
+Two host-granular operators a web-scale crawler needs that the reference
+(single-pass WARC grep) has no counterpart for:
+
+* **Mirror detection** — different hosts serving the same content
+  (mirrors, parked-domain farms, CDN aliases). Crawling a mirror wastes
+  the whole politeness budget twice and double-counts documents in a
+  training corpus. Detection: a per-host bottom-k minwise sketch of
+  content digests (the k smallest digests per host — one rank window),
+  then a digest self-join of the SKETCHES (k rows per host, never the
+  corpus) counting shared sketch members per host pair. overlap_ppm =
+  shared · 10⁶ / min(k_a, k_b) — an exact-integer, deliberately
+  conservative overlap proxy (a biased-LOW variant of the bottom-k
+  Jaccard estimator: true bottom-k conditions on the union sketch; this
+  counts shared members against the smaller sketch, so mirrors still
+  saturate at 10⁶ while partial overlaps under-report — the right
+  failure direction for a do-not-crawl list).
+
+* **Crawl-trap profiling** — hosts whose URL space explodes without new
+  content (calendar pages, session-id paths, faceted search). Signals
+  per host, all exact-integer: distinct URLs vs distinct content
+  digests (duplicate-content ratio), max path depth, query-parameter
+  density. One aggregate pass, partial-aggregated.
+
+At 100 TB: the sketch is one window shuffle on host with a map-side
+rank limit (k rows survive per host per task); the pair join touches
+k·|hosts| rows, never pages. Trap profiling is a single groupBy(host)
+over (url, digest) projections — two distinct-aggregates Catalyst
+expands in one pass. No all-pairs anything.
+
+Reference: c6fc/warcannon has no host hygiene (each campaign scans a
+fixed WARC list); new north_rule crawl-tier surface. Bottom-k sketches:
+Cohen & Kaplan, "Summarizing data using bottom-k sketches" (PODC '07).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h64, h64_sql
+
+SKETCH_K = 16
+MIRROR_PPM = 800_000     # flag pairs sharing ≥80% of sketch members
+TRAP_DUP_PPM = 500_000   # ≥50% of URLs carry a duplicate digest
+TRAP_DEPTH = 8
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixture (redirects.py convention): per-page (host, url,
+# digest) rows derived from documents, with planted pathologies:
+#   * hid % 7 == 3 hosts have a FULL MIRROR at m{hid}.example (every
+#     digest duplicated onto the mirror host, different URLs);
+#   * d % 10 == 7 docs spawn 3 extra ?page=N URLs with the SAME digest
+#     (the duplicate-content trap signal);
+#   * d % 50 == 9 docs sit at a depth-9 path (the depth trap signal).
+
+
+def host_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    hid = F.when(d % 3 == 0, F.lit(0)).otherwise(d % 37)
+    hids = hid.cast("string")
+    host = F.concat(F.lit("h"), hids, F.lit(".example"))
+    path = F.when(
+        d % 50 == 9,
+        F.concat(F.lit("/a/b/c/d/e/f/g/h/p"), d.cast("string")),
+    ).otherwise(F.concat(F.lit("/p/"), d.cast("string")))
+    digest = h64(F.col("text"))
+    base = docs.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("url"),
+        digest.alias("digest"),
+    )
+    mirror = docs.where(hid % 7 == 3).select(
+        F.concat(F.lit("m"), hids, F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("https://m"), hids, F.lit(".example"), path
+        ).alias("url"),
+        digest.alias("digest"),
+    )
+    trap = (
+        docs.where(d % 10 == 7)
+        .select(
+            host.alias("host"),
+            F.explode(F.sequence(F.lit(1), F.lit(3))).alias("pg"),
+            F.concat(F.lit("https://"), host, path).alias("base_url"),
+            digest.alias("digest"),
+        )
+        .select(
+            "host",
+            F.concat(
+                F.col("base_url"), F.lit("?page="), F.col("pg").cast("string")
+            ).alias("url"),
+            "digest",
+        )
+    )
+    return base.unionByName(mirror).unionByName(trap)
+
+
+_DIGEST_SQL = h64_sql("text")
+
+HOST_PAGES_CTE = f"""
+host_docs AS (
+  SELECT doc_id, text,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 37 END
+              AS VARCHAR) AS hids,
+         CASE WHEN doc_id % 50 = 9
+              THEN '/a/b/c/d/e/f/g/h/p' || CAST(doc_id AS VARCHAR)
+              ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS path
+  FROM documents
+),
+host_pages AS (
+  SELECT 'h' || hids || '.example' AS host,
+         'https://h' || hids || '.example' || path AS url,
+         {_DIGEST_SQL} AS digest
+  FROM host_docs
+  UNION ALL
+  SELECT 'm' || hids || '.example',
+         'https://m' || hids || '.example' || path,
+         {_DIGEST_SQL}
+  FROM host_docs
+  WHERE (CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 37 END) % 7 = 3
+  UNION ALL
+  SELECT 'h' || hids || '.example',
+         'https://h' || hids || '.example' || path
+           || '?page=' || CAST(pg AS VARCHAR),
+         {_DIGEST_SQL}
+  FROM host_docs CROSS JOIN (SELECT unnest([1, 2, 3]) AS pg)
+  WHERE doc_id % 10 = 7
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Operators.
+
+
+def mirror_host_pairs(
+    pages: DataFrame, k: int = SKETCH_K, min_ppm: int = 0
+) -> DataFrame:
+    """(host_a, host_b, shared, k_a, k_b, overlap_ppm, is_mirror) for
+    host pairs sharing ≥1 sketch digest (host_a < host_b). ``min_ppm``
+    pre-filters the output (0 keeps every candidate pair)."""
+    w = Window.partitionBy("host").orderBy("digest")
+    sketch = (
+        pages.select("host", "digest")
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+    sizes = sketch.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("k_size")
+    )
+    a = sketch.select(
+        F.col("host").alias("host_a"), F.col("digest").alias("d_a")
+    )
+    b = sketch.select(
+        F.col("host").alias("host_b"), F.col("digest").alias("d_b")
+    )
+    shared = (
+        a.join(b, (F.col("d_a") == F.col("d_b"))
+               & (F.col("host_a") < F.col("host_b")))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    sz_a = sizes.select(
+        F.col("host").alias("sa_host"), F.col("k_size").alias("k_a")
+    )
+    sz_b = sizes.select(
+        F.col("host").alias("sb_host"), F.col("k_size").alias("k_b")
+    )
+    ppm = F.floor(
+        F.col("shared") * 1000000 / F.least(F.col("k_a"), F.col("k_b"))
+    ).cast("long")
+    return (
+        shared.join(F.broadcast(sz_a), F.col("host_a") == F.col("sa_host"))
+        .join(F.broadcast(sz_b), F.col("host_b") == F.col("sb_host"))
+        .select(
+            "host_a", "host_b", "shared", "k_a", "k_b",
+            ppm.alias("overlap_ppm"),
+            (ppm >= MIRROR_PPM).alias("is_mirror"),
+        )
+        .where(F.col("overlap_ppm") >= min_ppm)
+    )
+
+
+def mirror_host_pairs_sql(pages_cte: str, k: int = SKETCH_K) -> str:
+    """DuckDB twin over a CTE body defining ``host_pages``."""
+    return f"""WITH {pages_cte.strip()},
+sketch AS (
+  SELECT host, digest FROM (
+    SELECT host, digest,
+           row_number() OVER (PARTITION BY host ORDER BY digest) AS rk
+    FROM (SELECT DISTINCT host, digest FROM host_pages)
+  ) WHERE rk <= {k}
+),
+sizes AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS k_size FROM sketch GROUP BY host
+),
+shared AS (
+  SELECT a.host AS host_a, b.host AS host_b,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM sketch a JOIN sketch b
+    ON a.digest = b.digest AND a.host < b.host
+  GROUP BY a.host, b.host
+)
+SELECT host_a, host_b, shared, sa.k_size AS k_a, sb.k_size AS k_b,
+       shared * 1000000 // least(sa.k_size, sb.k_size) AS overlap_ppm,
+       shared * 1000000 // least(sa.k_size, sb.k_size) >= {MIRROR_PPM}
+         AS is_mirror
+FROM shared
+JOIN sizes sa ON host_a = sa.host
+JOIN sizes sb ON host_b = sb.host"""
+
+
+def crawl_trap_profile(pages: DataFrame) -> DataFrame:
+    """Per-host trap signals: (host, n_urls, n_digests, dup_url_ppm,
+    max_depth, n_param_urls, is_trap). Depth counts path segments;
+    params count URLs carrying a query string."""
+    depth = (
+        F.size(F.split(F.regexp_extract("url", "^https?://[^/]+([^?#]*)", 1),
+                       "/")) - 1
+    ).cast("long")
+    has_q = F.when(F.col("url").contains("?"), F.lit(1)).otherwise(F.lit(0))
+    prof = (
+        pages.select("host", "url", "digest",
+                     depth.alias("__depth"), has_q.alias("__q"))
+        .groupBy("host")
+        .agg(
+            F.countDistinct("url").cast("long").alias("n_urls"),
+            F.countDistinct("digest").cast("long").alias("n_digests"),
+            F.max("__depth").alias("max_depth"),
+            F.sum("__q").cast("long").alias("n_param_urls"),
+        )
+    )
+    dup_ppm = F.floor(
+        (F.col("n_urls") - F.col("n_digests")) * 1000000 / F.col("n_urls")
+    ).cast("long")
+    return prof.select(
+        "host", "n_urls", "n_digests",
+        dup_ppm.alias("dup_url_ppm"),
+        "max_depth", "n_param_urls",
+        ((dup_ppm >= TRAP_DUP_PPM) | (F.col("max_depth") >= TRAP_DEPTH))
+        .alias("is_trap"),
+    )
+
+
+def crawl_trap_profile_sql(pages_cte: str) -> str:
+    return f"""WITH {pages_cte.strip()},
+annotated AS (
+  SELECT host, url, digest,
+         CAST(len(str_split(regexp_extract(url, '^https?://[^/]+([^?#]*)', 1),
+                            '/')) - 1 AS BIGINT) AS depth,
+         CASE WHEN url LIKE '%?%' THEN 1 ELSE 0 END AS q
+  FROM host_pages
+),
+prof AS (
+  SELECT host,
+         CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+         CAST(count(DISTINCT digest) AS BIGINT) AS n_digests,
+         max(depth) AS max_depth,
+         CAST(sum(q) AS BIGINT) AS n_param_urls
+  FROM annotated GROUP BY host
+)
+SELECT host, n_urls, n_digests,
+       (n_urls - n_digests) * 1000000 // n_urls AS dup_url_ppm,
+       max_depth, n_param_urls,
+       ((n_urls - n_digests) * 1000000 // n_urls >= {TRAP_DUP_PPM}
+        OR max_depth >= {TRAP_DEPTH}) AS is_trap
+FROM prof"""

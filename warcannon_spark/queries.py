@@ -3028,3 +3028,43 @@ def q_crawl_priority_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 2)
         .select("host", "rk", "url", "priority_score")
     )
+
+
+def _mirror_oracle() -> str:
+    from .operators.hostprofile import HOST_PAGES_CTE, mirror_host_pairs_sql
+
+    return mirror_host_pairs_sql(HOST_PAGES_CTE)
+
+
+@_q("mirror_host_detection", _mirror_oracle())
+def q_mirror_host_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection (operators/hostprofile.mirror_host_pairs):
+    per-host bottom-k minwise sketch of content digests (ONE rank
+    window), digest self-join of the SKETCHES — k rows per host, never
+    the corpus — counting shared members per host pair; exact-integer
+    overlap_ppm flags mirrors at ≥80%. The planted m{hid}.example full
+    mirrors come out at exactly 10⁶ ppm. A crawler feeds is_mirror
+    into the frontier as a do-not-crawl list."""
+    from .operators.hostprofile import host_pages_df, mirror_host_pairs
+
+    return mirror_host_pairs(host_pages_df(spark, sf_dir))
+
+
+def _trap_oracle() -> str:
+    from .operators.hostprofile import HOST_PAGES_CTE, crawl_trap_profile_sql
+
+    return crawl_trap_profile_sql(HOST_PAGES_CTE)
+
+
+@_q("crawl_trap_profile", _trap_oracle())
+def q_crawl_trap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap profiling (operators/hostprofile.crawl_trap_profile):
+    per-host URL-space pathology signals — distinct URLs vs distinct
+    content digests (the ?page=N duplicate-content plant), max path
+    depth (the depth-9 plant), query-param density — one partial-
+    aggregated groupBy(host), all exact-integer, is_trap at ≥50% dup
+    ratio or depth ≥8. Trap hosts get their politeness budget cut
+    before they eat the frontier."""
+    from .operators.hostprofile import crawl_trap_profile, host_pages_df
+
+    return crawl_trap_profile(host_pages_df(spark, sf_dir))
