@@ -325,6 +325,8 @@ def main() -> None:
         "url_normalize",
         "mirror_host_detection",
         "crawl_trap_profile",
+        "page_metadata",
+        "canonical_resolution",
         "event_sessions",
         "order_priority_counts",
         "decontaminate",

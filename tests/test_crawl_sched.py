@@ -495,3 +495,45 @@ def test_mirror_sketch_window_is_rank_limited(spark, sf_dir):
 
     plan = plan_str(mirror_host_pairs(host_pages_df(spark, sf_dir)))
     assert "WindowGroupLimit" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Page metadata + canonical resolution (session 2).
+
+
+def test_page_meta_extraction_table(spark):
+    from warcannon_spark.operators.html import extract_page_meta
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", '<html><head><meta charset="UTF-8">'
+                   '<link rel="canonical" href="https://c.example/x">'
+                   '<meta name="robots" content="NOINDEX, nofollow">'
+                   "</head><body/></html>"),
+            ("u2", "<html><head></head><body>no meta</body></html>"),
+        ],
+        "url string, html string",
+    )
+    out = {r["url"]: r for r in extract_page_meta(pages).collect()}
+    r1 = out["u1"]
+    assert r1["charset"] == "utf-8"
+    assert r1["canonical_url"] == "https://c.example/x"
+    assert r1["noindex"] and r1["nofollow"]
+    r2 = out["u2"]
+    assert r2["charset"] == "" and r2["canonical_url"] == ""
+    assert not r2["noindex"] and not r2["nofollow"]
+
+
+def test_canonical_resolution_reuses_redirect_semantics(spark, sf_dir):
+    from warcannon_spark.queries import QUERIES
+
+    out = QUERIES["canonical_resolution"](spark, sf_dir).toPandas()
+    moved = out[out.n_hops > 0]
+    # planted: d%10==9 pages canonicalize to p/{d-1}; all 1-hop, resolved
+    assert len(moved) > 0
+    assert (moved.n_hops == 1).all()
+    assert (moved.disposition == "resolved").all()
+    assert all(u.endswith(str(int(u.rsplit("/", 1)[1]))) for u in moved.url)
+    # self-canonical (d%5==2) pages are terminal
+    selfs = out[out.n_hops == 0]
+    assert (selfs.final_url == selfs.url).all()

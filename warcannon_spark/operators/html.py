@@ -307,3 +307,47 @@ FROM (
   FROM counted
 )
 WHERE rk <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Page-head metadata (round 5, session 2). Attribute-order-sensitive by
+# design (the module's regex-extractor heritage — the reference's
+# matcher greps raw attribute markup the same way); patterns sit in the
+# Java∩RE2 subset so the DuckDB twin is byte-identical.
+
+CHARSET_RE = '(?is)<meta[ \\t\\r\\n]+charset="([^"]*)"'
+CANONICAL_RE = '(?is)<link[^>]*rel="canonical"[^>]*href="([^"]*)"'
+METAROBOTS_RE = '(?is)<meta[^>]*name="robots"[^>]*content="([^"]*)"'
+
+
+def extract_page_meta(
+    pages: DataFrame, html_col: str = "html", keep: tuple[str, ...] = ("url",)
+) -> DataFrame:
+    """(keep…, charset, canonical_url, meta_robots, noindex, nofollow) —
+    the head metadata a crawler acts on BEFORE content processing:
+    rel=canonical collapses URL-space duplicates (the polite cousin of
+    a 301), meta-robots noindex/nofollow gate indexing and outlink
+    expansion, charset picks the decoder. One map-side projection of
+    native regexps, no exchange; empty string → no directive."""
+    html = F.col(html_col)
+    robots = F.lower(F.regexp_extract(html, METAROBOTS_RE, 1))
+    return pages.select(
+        *keep,
+        F.lower(F.regexp_extract(html, CHARSET_RE, 1)).alias("charset"),
+        F.regexp_extract(html, CANONICAL_RE, 1).alias("canonical_url"),
+        robots.alias("meta_robots"),
+        robots.contains("noindex").alias("noindex"),
+        robots.contains("nofollow").alias("nofollow"),
+    )
+
+
+def extract_page_meta_sql(keep_sql: str, from_sql: str) -> str:
+    """DuckDB twin of :func:`extract_page_meta`."""
+    robots = f"lower(regexp_extract(html, '{METAROBOTS_RE}', 1))"
+    return f"""SELECT {keep_sql},
+       lower(regexp_extract(html, '{CHARSET_RE}', 1)) AS charset,
+       regexp_extract(html, '{CANONICAL_RE}', 1) AS canonical_url,
+       {robots} AS meta_robots,
+       contains({robots}, 'noindex') AS noindex,
+       contains({robots}, 'nofollow') AS nofollow
+{from_sql}"""

@@ -173,7 +173,11 @@ def resolve_redirects(
         )
         if materialize_rounds:
             jump = jump.localCheckpoint()
-    sources = edges.select(F.col("src").alias("t_src")).distinct()
+    # Doubling preserves the src set, so the redirect-source keys come
+    # from the (materialized) composed map — NOT from `edges`, whose
+    # lineage would re-run the caller's upstream projection a third
+    # time (e.g. the canonical-link regex pass over raw markup).
+    sources = jump.select(F.col("src").alias("t_src")).distinct()
     resolved = (
         jump.join(sources, jump["dst"] == sources["t_src"], "left")
         .select(

@@ -3068,3 +3068,73 @@ def q_crawl_trap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.hostprofile import crawl_trap_profile, host_pages_df
 
     return crawl_trap_profile(host_pages_df(spark, sf_dir))
+
+
+def _page_meta_oracle() -> str:
+    from .operators.html import extract_page_meta_sql
+    from .sources.htmlpages import HTML_PAGES_CTE
+
+    return (
+        f"WITH {HTML_PAGES_CTE.strip()}\n"
+        + extract_page_meta_sql("url", "FROM html_pages")
+    )
+
+
+@_q("page_metadata", _page_meta_oracle())
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction (operators/html.extract_page_meta):
+    charset, rel=canonical, meta-robots (noindex/nofollow flags) — the
+    directives a crawler acts on BEFORE content processing. One
+    map-side native-regexp projection, zero exchange; the v3 corpus
+    plants all three directive families."""
+    from .operators.html import extract_page_meta
+    from .sources.htmlpages import html_pages_df
+
+    return extract_page_meta(html_pages_df(spark, sf_dir), keep=("url",))
+
+
+def _canonical_oracle() -> str:
+    from .operators.html import CANONICAL_RE
+    from .plans.redirects import resolve_redirects_sql
+    from .sources.htmlpages import HTML_PAGES_CTE
+
+    fetches_cte = f"""{HTML_PAGES_CTE.strip()},
+fetch_results AS (
+  SELECT url,
+         CAST(CASE WHEN can <> '' AND can <> url THEN 301 ELSE 200 END
+              AS INT) AS status,
+         CASE WHEN can <> '' AND can <> url THEN can ELSE NULL END
+           AS location
+  FROM (
+    SELECT url, regexp_extract(html, '{CANONICAL_RE}', 1) AS can
+    FROM html_pages
+  )
+)"""
+    return resolve_redirects_sql(fetches_cte)
+
+
+@_q("canonical_resolution", _canonical_oracle())
+def q_canonical_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical chains resolved with the SAME pointer-doubling
+    operator as HTTP redirects (plans/redirects.resolve_redirects) —
+    a canonical link is the polite cousin of a 301, and a production
+    frontier folds both into one URL-aliasing map. Divergent canonicals
+    become 301-like edges; self/absent canonicals stay terminal. The
+    recursive-CTE oracle again pins the doubling plan to hop-by-hop
+    semantics over the derived edge set."""
+    from .operators.html import extract_page_meta
+    from .plans.redirects import resolve_redirects
+    from .sources.htmlpages import html_pages_df
+
+    meta = extract_page_meta(html_pages_df(spark, sf_dir), keep=("url",))
+    divergent = (F.col("canonical_url") != "") & (
+        F.col("canonical_url") != F.col("url")
+    )
+    fetches = meta.select(
+        "url",
+        F.when(divergent, F.lit(301)).otherwise(F.lit(200))
+        .cast("int")
+        .alias("status"),
+        F.when(divergent, F.col("canonical_url")).alias("location"),
+    )
+    return resolve_redirects(fetches)

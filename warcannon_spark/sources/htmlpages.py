@@ -26,6 +26,13 @@ Planted structure (residues of doc_id) exercises every extraction rule:
     (23 distinct profiles per destination host), wrapped in a ``<b>``
     at ``d % 9 == 4`` — anchor-profile extraction must strip nested
     tags from link text (v2).
+  * head metadata (v3): ``<meta charset>`` utf-8 (iso-8859-1 at
+    ``d % 8 == 6``); ``<link rel="canonical">`` self at ``d % 5 == 2``,
+    pointing at ``p/{d-1}`` (a dedup target) at ``d % 10 == 9``;
+    ``<meta name="robots">`` noindex,nofollow at ``d % 13 == 6`` and
+    nofollow at ``d % 13 == 7``. NOTE: the canonical <link href> also
+    feeds the outlink harvest (href-attribute scan) — intentional, the
+    reference's matcher greps raw attributes the same way.
 
 At real scale this table is the WARC response payload column
 (``sources/warc.py``) or an Iceberg table of fetched bodies; everything
@@ -39,7 +46,7 @@ from pyspark.sql import functions as F
 
 # Bump when the derivation changes — cached WET fixtures key on it
 # (the sources/pages.py PAGES_VERSION convention).
-HTML_PAGES_VERSION = 2
+HTML_PAGES_VERSION = 3
 
 
 def html_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,6 +65,32 @@ def html_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("</title>"),
             ),
         ).otherwise(F.lit("")),
+        F.when(d % 8 == 6, F.lit('<meta charset="iso-8859-1">')).otherwise(
+            F.lit('<meta charset="utf-8">')
+        ),
+        F.when(
+            d % 10 == 9,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://h'), hid,
+                F.lit(".example/p/"), (d - 1).cast("string"), F.lit('">'),
+            ),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://h'), hid,
+                F.lit(".example/p/"), ds, F.lit('">'),
+            ),
+        )
+        .otherwise(F.lit("")),
+        F.when(
+            d % 13 == 6,
+            F.lit('<meta name="robots" content="noindex,nofollow">'),
+        )
+        .when(
+            d % 13 == 7, F.lit('<meta name="robots" content="nofollow">')
+        )
+        .otherwise(F.lit("")),
         F.lit("<style>body { color: #333; }</style>"),
         F.lit(
             '<script type="text/javascript">document.write("SCRIPTNOISE");'
@@ -124,6 +157,20 @@ html_pages AS (
     '<html><head>'
       || CASE WHEN doc_id % 5 <> 0
               THEN '<title>Doc ' || ds || ' &amp; h' || hid || '</title>'
+              ELSE '' END
+      || CASE WHEN doc_id % 8 = 6 THEN '<meta charset="iso-8859-1">'
+              ELSE '<meta charset="utf-8">' END
+      || CASE WHEN doc_id % 10 = 9
+              THEN '<link rel="canonical" href="https://h' || hid
+                   || '.example/p/' || CAST(doc_id - 1 AS VARCHAR) || '">'
+              WHEN doc_id % 5 = 2
+              THEN '<link rel="canonical" href="https://h' || hid
+                   || '.example/p/' || ds || '">'
+              ELSE '' END
+      || CASE WHEN doc_id % 13 = 6
+              THEN '<meta name="robots" content="noindex,nofollow">'
+              WHEN doc_id % 13 = 7
+              THEN '<meta name="robots" content="nofollow">'
               ELSE '' END
       || '<style>body { color: #333; }</style>'
       || '<script type="text/javascript">document.write("SCRIPTNOISE"); var x = 1 < 2;</script>'
