@@ -537,3 +537,68 @@ def test_canonical_resolution_reuses_redirect_semantics(spark, sf_dir):
     # self-canonical (d%5==2) pages are terminal
     selfs = out[out.n_hops == 0]
     assert (selfs.final_url == selfs.url).all()
+
+
+# ---------------------------------------------------------------------------
+# Streaming change tracker (session 2) — kernel semantics with a mock
+# GroupState; the end-to-end drain is oracle-gated (streaming_recrawl_changes).
+
+
+class _FakeState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _run_tracker(batches, state):
+    import pandas as pd
+
+    from warcannon_spark.streaming.state import _change_tracker_fn
+
+    out = None
+    for rows in batches:
+        pdf = pd.DataFrame(rows, columns=["fetch_ts", "digest"])
+        for o in _change_tracker_fn(("u",), iter([pdf]), state):
+            out = o
+    return out
+
+
+def test_change_tracker_order_insensitive():
+    in_order = [[(0, 1), (1, 2)], [(2, 2), (3, 9)]]
+    shuffled = [[(3, 9), (1, 2)], [(0, 1), (2, 2)]]
+    s1, s2 = _FakeState(), _FakeState()
+    a = _run_tracker(in_order, s1)
+    b = _run_tracker(shuffled, s2)
+    # history 1,2,2,9 → 2 changes either way
+    for o in (a, b):
+        assert int(o.n_obs.iloc[0]) == 4
+        assert int(o.n_changes.iloc[0]) == 2
+    assert s1.get == s2.get  # identical packed state
+
+
+def test_change_tracker_replay_dedupes_and_caps():
+    import numpy as np
+
+    from warcannon_spark.streaming.state import CHANGE_HISTORY_CAP
+
+    s = _FakeState()
+    batch = [(i, i % 3) for i in range(5)]
+    a = _run_tracker([batch, batch], s)  # exact replay absorbed
+    assert int(a.n_obs.iloc[0]) == 5
+    # overflow: cap retains the newest observations only
+    s2 = _FakeState()
+    long = [[(i, i) for i in range(CHANGE_HISTORY_CAP + 10)]]
+    b = _run_tracker(long, s2)
+    assert int(b.n_obs.iloc[0]) == CHANGE_HISTORY_CAP
+    ts = np.frombuffer(s2.get[0], dtype=np.int64)
+    assert ts[0] == 10  # oldest 10 dropped

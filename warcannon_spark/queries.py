@@ -3138,3 +3138,73 @@ def q_canonical_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(divergent, F.col("canonical_url")).alias("location"),
     )
     return resolve_redirects(fetches)
+
+
+def _streaming_changes_oracle() -> str:
+    from .plans.recrawl import FETCH_HISTORY_CTE
+
+    return f"""WITH {FETCH_HISTORY_CTE.strip()},
+flagged AS (
+  SELECT url,
+         CASE WHEN lag(digest) OVER (PARTITION BY url ORDER BY fetch_ts)
+                   IS NOT NULL
+               AND digest <> lag(digest) OVER (PARTITION BY url
+                                               ORDER BY fetch_ts)
+              THEN 1 ELSE 0 END AS chg
+  FROM fetch_history
+)
+SELECT url, CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(sum(chg) AS BIGINT) AS n_changes
+FROM flagged GROUP BY url"""
+
+
+@_q("streaming_recrawl_changes", _streaming_changes_oracle())
+def q_streaming_recrawl_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-URL change tracking under the oracle gate: the
+    fetch-digest history drained as micro-batched file drops through
+    applyInPandasWithState (state = the url's bounded (ts, digest)
+    history; the kernel re-sorts per key, so the operator is ORDER-
+    INSENSITIVE across batches and replay-idempotent), appended
+    latest-wins to a TableIO log. The final fold must equal the batch
+    lag-window aggregate bit-for-bit — the live-updating twin of
+    recrawl_schedule's estimator inputs."""
+    import hashlib
+    import os as _os
+
+    from .plans.recrawl import fetch_history_df
+    from .streaming.pipeline import (
+        change_tracker_final,
+        run_change_tracker_pipeline,
+    )
+
+    doc_dir = _os.path.join(sf_dir, "documents.parquet")
+    doc_paths = (
+        sorted(_os.listdir(doc_dir)) if _os.path.isdir(doc_dir) else [doc_dir]
+    )
+    h = hashlib.sha1(b"chgv1")
+    for p in doc_paths:
+        full = _os.path.join(doc_dir, p) if _os.path.isdir(doc_dir) else p
+        st = _os.stat(full)
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    root = f"/tmp/wc_chg_stream_q_{h.hexdigest()[:10]}_{tag}"
+    src = f"{root}/src"
+    if not _os.path.exists(f"{root}/_SRC_DONE"):
+        (
+            fetch_history_df(spark, sf_dir)
+            .select("url", "fetch_ts", "digest")
+            .coalesce(6)
+            .write.mode("overwrite")
+            .json(src)
+        )
+        with open(f"{root}/_SRC_DONE", "w") as f:
+            f.write("ok")
+    if not _os.path.exists(f"{root}/_RUN_DONE"):
+        run_change_tracker_pipeline(
+            spark, src, f"{root}/log", checkpoint_dir=f"{root}/ckpt"
+        )
+        with open(f"{root}/_RUN_DONE", "w") as f:
+            f.write("ok")
+    from .sources.tableio import TableIO
+
+    return change_tracker_final(spark, TableIO(f"{root}/log"))

@@ -230,3 +230,64 @@ def run_wet_pipeline(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+FETCHES_STREAM_SCHEMA = "url string, fetch_ts long, digest long"
+
+
+def run_change_tracker_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    workdir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 2,
+):
+    """Drain a fetch-results file-drop through the stateful per-URL
+    change tracker (streaming/state.change_tracker_stream) into a
+    TableIO log: each micro-batch APPENDS the touched urls' running
+    (n_obs, n_changes) stamped with the batch id; the reader takes
+    latest-wins per url, so the final snapshot equals the batch
+    lag-window aggregate REGARDLESS of file-drop order (the kernel
+    re-sorts history per key). Replay-idempotent: a re-delivered batch
+    re-emits identical rows and latest-wins absorbs them."""
+    from .state import change_tracker_stream
+
+    table = TableIO(workdir)
+    fetches = (
+        spark.readStream.schema(FETCHES_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+    tracked = change_tracker_stream(fetches)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        table.write(
+            batch_df.withColumn("batch_id", F.lit(batch_id)),
+            mode="append",
+            meta={"batch_id": batch_id},
+        )
+
+    q = (
+        tracked.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table
+
+
+def change_tracker_final(spark: SparkSession, table) -> DataFrame:
+    """Latest-wins fold of the change-tracker log → one row per url."""
+    from pyspark.sql import Window as _W
+
+    log = table.read(spark)
+    w = _W.partitionBy("url").orderBy(
+        F.col("batch_id").desc(), F.col("n_obs").desc()
+    )
+    return (
+        log.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select("url", "n_obs", "n_changes")
+    )

@@ -181,3 +181,66 @@ def host_progress_stream(pages: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming recrawl change tracking (round 5, session 2).
+
+CHANGE_OUT_SCHEMA = "url string, n_obs long, n_changes long"
+CHANGE_STATE_SCHEMA = "ts binary, dg binary"  # packed int64 arrays
+CHANGE_HISTORY_CAP = 32  # observations retained per URL (state bound)
+
+
+def _change_tracker_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Grouped-state kernel: state = the URL's (fetch_ts, digest)
+    history packed as two int64 arrays, capped at CHANGE_HISTORY_CAP
+    observations (the recrawl estimator is window-bounded anyway, so
+    truncation loses nothing it uses). Each batch merges its rows,
+    re-sorts by fetch_ts, dedupes exact (ts, digest) replays, and emits
+    the url's CURRENT (n_obs, n_changes) — change counting over the
+    sorted history makes the operator ORDER-INSENSITIVE across
+    micro-batches (late or shuffled file drops converge to the same
+    final answer; the sink keeps latest-wins per url)."""
+    if state.exists:
+        ts_blob, dg_blob = state.get
+        ts = np.frombuffer(ts_blob, dtype=np.int64).copy()
+        dg = np.frombuffer(dg_blob, dtype=np.int64).copy()
+    else:
+        ts = np.empty(0, dtype=np.int64)
+        dg = np.empty(0, dtype=np.int64)
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        ts = np.concatenate([ts, pdf["fetch_ts"].to_numpy(np.int64)])
+        dg = np.concatenate([dg, pdf["digest"].to_numpy(np.int64)])
+    order = np.argsort(ts, kind="stable")
+    ts, dg = ts[order], dg[order]
+    keep = np.ones(len(ts), dtype=bool)
+    if len(ts) > 1:  # drop exact (ts, digest) duplicates (replay safety)
+        keep[1:] = (ts[1:] != ts[:-1]) | (dg[1:] != dg[:-1])
+    ts, dg = ts[keep], dg[keep]
+    if len(ts) > CHANGE_HISTORY_CAP:
+        ts, dg = ts[-CHANGE_HISTORY_CAP:], dg[-CHANGE_HISTORY_CAP:]
+    n_obs = len(ts)
+    n_changes = int((dg[1:] != dg[:-1]).sum()) if n_obs > 1 else 0
+    state.update((ts.tobytes(), dg.tobytes()))
+    yield pd.DataFrame(
+        {"url": [key[0]], "n_obs": [n_obs], "n_changes": [n_changes]}
+    )
+
+
+def change_tracker_stream(fetches: DataFrame) -> DataFrame:
+    """Streaming per-URL content-change tracker: input (url, fetch_ts,
+    digest) rows, output the url's running (n_obs, n_changes) after each
+    batch that touches it. State is ONE bounded row per url (≤ 2·8·CAP
+    bytes) in the state store — RocksDB-backed on a real cluster, so
+    10^10 urls page to disk like the exact seen-filter variant."""
+    return fetches.groupBy("url").applyInPandasWithState(
+        _change_tracker_fn,
+        outputStructType=CHANGE_OUT_SCHEMA,
+        stateStructType=CHANGE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
