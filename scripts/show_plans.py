@@ -195,6 +195,86 @@ def main() -> None:
         )
     )
 
+    # round-5 session-2 crawl-scheduling tier ------------------------------
+    from warcannon_spark.functions.urls import normalize_url
+    from warcannon_spark.operators.hostprofile import (
+        host_pages_df,
+        mirror_host_pairs,
+    )
+    from warcannon_spark.plans.recrawl import (
+        fetch_history_df,
+        recrawl_schedule,
+    )
+    from warcannon_spark.plans.redirects import (
+        fetch_results_df,
+        resolve_redirects,
+    )
+
+    # materialize the synthetic history first — the fixture derivation
+    # has its own window; the section shows the ESTIMATOR's plan over a
+    # stored history table (the real deployment shape).
+    hist_path = "/tmp/wc_plans_fetch_history"
+    fetch_history_df(spark, "/root/testdata/sf0.001").write.mode(
+        "overwrite"
+    ).parquet(hist_path)
+    sched = recrawl_schedule(spark.read.parquet(hist_path))
+    sched_plan = plan_of(sched)
+    sections.append(
+        (
+            "recrawl_schedule (change-rate window + per-URL aggregate)",
+            sched_plan,
+            [
+                "the lag window and the per-url aggregate share "
+                "hashpartitioning(url) — the fetch HISTORY (the big table: "
+                "n_obs rows per URL) shuffles ONCE for the whole estimator",
+            ],
+        )
+    )
+
+    rr = resolve_redirects(fetch_results_df(spark, "/root/testdata/sf0.001"))
+    rr_plan = plan_of(rr)
+    sections.append(
+        (
+            "redirect resolution (pointer-doubling apply)",
+            rr_plan,
+            [
+                "the FINAL plan holds only the disposition probe + the "
+                "corpus apply join (both BroadcastHashJoin on the composed "
+                "map) — the log2(cap)=3 compose rounds ran as one small "
+                "materialized join job each, so compose work is O(log cap) "
+                "shuffles of the 3xx map, never a per-hop corpus pass",
+            ],
+        )
+    )
+
+    nu = pages.select(normalize_url(F.col("url")).alias("n"))
+    nu_plan = plan_of(nu)
+    sections.append(
+        (
+            "normalize_url (native tracking-param strip + sort)",
+            nu_plan,
+            [
+                "pure project over the scan — no exchange, no Python "
+                "workers; the higher-order filter/sort runs inside "
+                "whole-stage codegen",
+            ],
+        )
+    )
+
+    mi = mirror_host_pairs(host_pages_df(spark, "/root/testdata/sf0.001"))
+    mi_plan = plan_of(mi)
+    sections.append(
+        (
+            "mirror detection (bottom-k sketch self-join)",
+            mi_plan,
+            [
+                "the rank window carries a WindowGroupLimit — each task "
+                "forwards ≤k digests per host before the exchange, so the "
+                "pair join touches k·|hosts| sketch rows, never the corpus",
+            ],
+        )
+    )
+
     out = ["# BENCH/PLANS.md — physical-plan evidence\n"]
     for title, plan, claims in sections:
         out.append(f"## {title}\n")
@@ -224,6 +304,17 @@ def main() -> None:
     assert "RoundRobinPartitioning" in wq_plan
     assert "hashpartitioning" not in wq_plan and "EvalPython" not in wq_plan
     assert 0 <= wq_plan.find("Filter") < wq_plan.find("Exchange")
+    # formatted mode names nodes "(N) Exchange" with the partitioning on
+    # the Arguments: line — count hashpartitioning argument lines.
+    n_hash_ex = sum(
+        1
+        for line in sched_plan.splitlines()
+        if "Arguments: hashpartitioning" in line
+    )
+    assert n_hash_ex == 1, f"recrawl_schedule: {n_hash_ex} hash exchanges"
+    assert rr_plan.count("Join") <= 4  # formatted lists nodes twice
+    assert "EvalPython" not in nu_plan and "Exchange" not in nu_plan
+    assert "WindowGroupLimit" in mi_plan
     print("plans written to BENCH/PLANS.md; matcher has", n_arrow, "ArrowEvalPython node")
     spark.stop()
 
