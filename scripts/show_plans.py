@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import io
 import os
+import re
 import sys
 from contextlib import redirect_stdout
 
@@ -312,7 +313,19 @@ def main() -> None:
         if "Arguments: hashpartitioning" in line
     )
     assert n_hash_ex == 1, f"recrawl_schedule: {n_hash_ex} hash exchanges"
-    assert rr_plan.count("Join") <= 4  # formatted lists nodes twice
+    rr_joins = {
+        line.split(") ", 1)[1].split(" ", 1)[0]
+        for line in rr_plan.splitlines()
+        if re.match(r"^\(\d+\) \w*Join", line.strip())
+    }
+    n_rr_join_nodes = sum(
+        1
+        for line in rr_plan.splitlines()
+        if re.match(r"^\(\d+\) \w*Join", line.strip())
+    )
+    # the "(N) Node" form appears once per node (details section).
+    assert n_rr_join_nodes == 2, (n_rr_join_nodes, rr_joins)
+    assert rr_joins == {"BroadcastHashJoin"}, rr_joins
     assert "EvalPython" not in nu_plan and "Exchange" not in nu_plan
     assert "WindowGroupLimit" in mi_plan
     print("plans written to BENCH/PLANS.md; matcher has", n_arrow, "ArrowEvalPython node")

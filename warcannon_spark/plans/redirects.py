@@ -178,6 +178,8 @@ def resolve_redirects(
     # lineage would re-run the caller's upstream projection a third
     # time (e.g. the canonical-link regex pass over raw markup).
     sources = jump.select(F.col("src").alias("t_src")).distinct()
+    if broadcast_map:  # ≤ the composed map itself; same sizing assumption
+        sources = F.broadcast(sources)
     resolved = (
         jump.join(sources, jump["dst"] == sources["t_src"], "left")
         .select(
