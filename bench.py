@@ -327,6 +327,13 @@ def main() -> None:
         "crawl_trap_profile",
         "page_metadata",
         "canonical_resolution",
+        "sitemap_delta",
+        "recrawl_politeness_plan",
+        # streaming_recrawl_changes is NOT benched here: its first call
+        # pays the one-time streaming drain and later calls read the
+        # cached table — _best_of's spread guard would see the cliff as
+        # noise and burn retry budget (same policy as the other
+        # streaming_* queries, none of which are in this list).
         "event_sessions",
         "order_priority_counts",
         "decontaminate",

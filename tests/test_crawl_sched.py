@@ -602,3 +602,49 @@ def test_change_tracker_replay_dedupes_and_caps():
     assert int(b.n_obs.iloc[0]) == CHANGE_HISTORY_CAP
     ts = np.frombuffer(s2.get[0], dtype=np.int64)
     assert ts[0] == 10  # oldest 10 dropped
+
+
+# ---------------------------------------------------------------------------
+# Sitemap delta + politeness-capped recrawl plan (session 2).
+
+
+def test_sitemap_delta_classification(spark):
+    from warcannon_spark.sources.sitemaps import sitemap_delta
+
+    schema = (
+        "sitemap_url string, host string, loc string, lastmod string,"
+        " changefreq string, priority double"
+    )
+    old = spark.createDataFrame(
+        [
+            ("s", "h", "u1", "2026-01-01", "daily", 0.5),
+            ("s", "h", "u2", "2026-01-01", "daily", 0.5),
+            ("s", "h", "u4", "2026-01-01", "daily", 0.5),
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            ("s", "h", "u1", "2026-01-01", "daily", 0.5),  # unchanged
+            ("s", "h", "u2", "2026-02-02", "daily", 0.5),  # modified
+            ("s", "h", "u3", "2026-01-01", "daily", 0.5),  # added
+        ],
+        schema,
+    )
+    out = {r["loc"]: r["change"] for r in sitemap_delta(old, new).collect()}
+    assert out == {
+        "u1": "unchanged",
+        "u2": "modified",
+        "u3": "added",
+        "u4": "removed",
+    }
+
+
+def test_recrawl_politeness_plan_respects_budgets(spark, sf_dir):
+    from warcannon_spark.queries import QUERIES
+
+    out = QUERIES["recrawl_politeness_plan"](spark, sf_dir).toPandas()
+    per_host = out.groupby("host").rk.max()
+    for host, mx in per_host.items():
+        hid = int(host[1:].split(".")[0])
+        assert mx <= (3 if hid % 3 == 0 else 5), (host, mx)

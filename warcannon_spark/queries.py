@@ -3208,3 +3208,103 @@ def q_streaming_recrawl_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.tableio import TableIO
 
     return change_tracker_final(spark, TableIO(f"{root}/log"))
+
+
+def _sitemap_delta_oracle() -> str:
+    from .sources.sitemaps import sitemap_delta_sql, sitemap_entries_sql
+
+    new_sql = sitemap_entries_sql()
+    old_sql = f"""SELECT sitemap_url, host, loc,
+       CASE WHEN CAST(regexp_extract(loc, '/p/(\\d+)$', 1) AS BIGINT) % 9 = 2
+            THEN '2025-12-31' ELSE lastmod END AS lastmod,
+       changefreq, priority
+FROM ({new_sql})
+WHERE CAST(regexp_extract(loc, '/p/(\\d+)$', 1) AS BIGINT) % 17 <> 0
+UNION ALL
+SELECT sitemap_url, host, loc || '/gone', '2025-06-01', changefreq, priority
+FROM ({new_sql})
+WHERE CAST(regexp_extract(loc, '/p/(\\d+)$', 1) AS BIGINT) % 19 = 1"""
+    return f"""SELECT * FROM ({sitemap_delta_sql(old_sql, new_sql)})
+WHERE change <> 'unchanged'"""
+
+
+@_q("sitemap_delta", _sitemap_delta_oracle())
+def q_sitemap_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap snapshot diff (sources/sitemaps.sitemap_delta): today's
+    parsed entries vs a derived yesterday snapshot (d%17==0 entries
+    absent → ``added``; d%9==2 lastmod shifted → ``modified``; planted
+    ``…/gone`` rows present only yesterday → ``removed``). One
+    full-outer join on loc; added/modified rows are the cheapest change
+    signal a host offers and feed the recrawl due-queue directly."""
+    from .sources.sitemaps import (
+        sitemap_delta,
+        sitemap_entries,
+        sitemaps_df,
+    )
+
+    new = sitemap_entries(sitemaps_df(spark, sf_dir))
+    d = F.regexp_extract("loc", r"/p/(\d+)$", 1).cast("long")
+    old = (
+        new.where(d % 17 != 0)
+        .withColumn(
+            "lastmod",
+            F.when(d % 9 == 2, F.lit("2025-12-31")).otherwise(
+                F.col("lastmod")
+            ),
+        )
+        .unionByName(
+            new.where(d % 19 == 1).select(
+                "sitemap_url",
+                "host",
+                F.concat(F.col("loc"), F.lit("/gone")).alias("loc"),
+                F.lit("2025-06-01").alias("lastmod"),
+                "changefreq",
+                "priority",
+            )
+        )
+    )
+    return sitemap_delta(old, new).where(F.col("change") != "unchanged")
+
+
+def _recrawl_politeness_oracle() -> str:
+    from .plans.recrawl import FETCH_HISTORY_CTE, recrawl_due_topk_sql
+
+    return f"""WITH due AS ({recrawl_due_topk_sql(FETCH_HISTORY_CTE)})
+SELECT host, rk, url FROM due
+WHERE rk <= CASE WHEN CAST(regexp_extract(host, 'h(\\d+)', 1) AS INT) % 3 = 0
+                 THEN 3 ELSE 5 END"""
+
+
+@_q("recrawl_politeness_plan", _recrawl_politeness_oracle())
+def q_recrawl_politeness_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round's actual fetch plan: the recrawl due-queue capped by
+    robots Crawl-delay budgets — hosts declaring delay 10 in a
+    30-second round keep floor(30/10)=3 of their due URLs, others the
+    default 5 (≥ the due queue's own k=4 cap). Runs the REAL
+    executor-side robots parse (crawl_delay_budgets); the oracle
+    recomputes the arithmetic. This is the loop closed: change-rate
+    estimation → due ranking → politeness-budgeted dequeue."""
+    from .plans.recrawl import (
+        fetch_history_df,
+        recrawl_due_topk,
+        recrawl_schedule,
+    )
+    from .plans.robots import crawl_delay_budgets
+
+    due = recrawl_due_topk(recrawl_schedule(fetch_history_df(spark, sf_dir)))
+    hid = F.regexp_extract("host", r"h(\d+)", 1).cast("int")
+    robots = due.select("host").distinct().select(
+        "host",
+        F.when(
+            hid % 3 == 0,
+            F.lit("User-agent: *\nCrawl-delay: 10\nDisallow: /x"),
+        )
+        .otherwise(F.lit("User-agent: *\nDisallow: /x"))
+        .alias("robots_txt"),
+    )
+    budgets = crawl_delay_budgets(robots, round_seconds=30, default_budget=5)
+    return (
+        due.join(F.broadcast(budgets), "host", "left")
+        .filter(F.col("rk") <= F.coalesce("budget", F.lit(5)))
+        .select("host", "rk", "url")
+    )

@@ -266,3 +266,51 @@ SELECT sitemap_url, host,
        CAST(regexp_extract(b, '{PRIORITY_RE}', 1) AS DOUBLE) AS priority
 FROM blocks
 WHERE regexp_extract(b, '{LOC_RE}', 1) <> ''"""
+
+
+def sitemap_delta(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot diff of parsed sitemap entries keyed on ``loc``:
+    (loc, change ∈ added|removed|modified|unchanged, old_lastmod,
+    new_lastmod). ``modified`` compares lastmod only — the field the
+    protocol designates for freshness. One full-outer join on loc
+    (per-URL rows both sides; AQE broadcasts a small snapshot).
+    Added/modified rows feed the recrawl due-queue directly: a sitemap
+    delta is the cheapest change signal a host offers."""
+    o = old.select(
+        F.col("loc").alias("o_loc"), F.col("lastmod").alias("old_lastmod")
+    )
+    n = new.select(
+        F.col("loc").alias("n_loc"), F.col("lastmod").alias("new_lastmod")
+    )
+    change = (
+        F.when(F.col("o_loc").isNull(), F.lit("added"))
+        .when(F.col("n_loc").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_lastmod") != F.col("new_lastmod"), F.lit("modified")
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        o.join(n, F.col("o_loc") == F.col("n_loc"), "full_outer")
+        .select(
+            F.coalesce("n_loc", "o_loc").alias("loc"),
+            change.alias("change"),
+            "old_lastmod",
+            "new_lastmod",
+        )
+    )
+
+
+def sitemap_delta_sql(old_sql: str, new_sql: str) -> str:
+    """DuckDB twin of :func:`sitemap_delta` over two entry queries."""
+    return f"""WITH old_snap AS ({old_sql}),
+new_snap AS ({new_sql}),
+o AS (SELECT loc AS o_loc, lastmod AS old_lastmod FROM old_snap),
+n AS (SELECT loc AS n_loc, lastmod AS new_lastmod FROM new_snap)
+SELECT COALESCE(n_loc, o_loc) AS loc,
+       CASE WHEN o_loc IS NULL THEN 'added'
+            WHEN n_loc IS NULL THEN 'removed'
+            WHEN old_lastmod <> new_lastmod THEN 'modified'
+            ELSE 'unchanged' END AS change,
+       old_lastmod, new_lastmod
+FROM o FULL OUTER JOIN n ON o_loc = n_loc"""
