@@ -329,6 +329,7 @@ def main() -> None:
         "canonical_resolution",
         "sitemap_delta",
         "recrawl_politeness_plan",
+        "host_backoff_plan",
         # streaming_recrawl_changes is NOT benched here: its first call
         # pays the one-time streaming drain and later calls read the
         # cached table — _best_of's spread guard would see the cliff as

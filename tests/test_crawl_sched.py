@@ -648,3 +648,25 @@ def test_recrawl_politeness_plan_respects_budgets(spark, sf_dir):
     for host, mx in per_host.items():
         hid = int(host[1:].split(".")[0])
         assert mx <= (3 if hid % 3 == 0 else 5), (host, mx)
+
+
+def test_host_backoff_tiers(spark):
+    from warcannon_spark.plans.frontier import host_backoff
+
+    rows = (
+        [("https://bad.example/p%d" % i, 503) for i in range(6)]
+        + [("https://bad.example/ok", 200)]          # 6/7 ≈ 857k ppm → 4
+        + [("https://warm.example/a", 429)]
+        + [("https://warm.example/%d" % i, 200) for i in range(3)]  # 250k → 2
+        + [("https://mild.example/a", 500)]
+        + [("https://mild.example/%d" % i, 200) for i in range(9)]  # 100k → 1
+        + [("https://ok.example/%d" % i, 200) for i in range(4)]    # 0
+        + [("https://r.example/a", 301)]             # redirects aren't errors
+    )
+    df = spark.createDataFrame(rows, "url string, status int")
+    out = {r["host"]: r for r in host_backoff(df).collect()}
+    assert out["bad.example"]["backoff_rounds"] == 4
+    assert out["warm.example"]["backoff_rounds"] == 2
+    assert out["mild.example"]["backoff_rounds"] == 1
+    assert out["ok.example"]["backoff_rounds"] == 0
+    assert out["r.example"]["n_errors"] == 0

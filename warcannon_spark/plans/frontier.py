@@ -247,3 +247,49 @@ def outcome_rows(
         F.lit(round_no).cast("int").alias("lease_round"),
         "partition_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Host backoff planning (round 5, session 2). The reference's Lambda
+# retries individual requests; a polite distributed crawler reacts to a
+# HOST's error profile — 429 (rate limit) and 5xx rates — by parking
+# the host for whole rounds. Exact-integer thresholds so the policy is
+# oracle-checkable; one partial-aggregated groupBy(host).
+
+BACKOFF_TIERS = (
+    (500_000, 4),  # ≥50% errors → park 4 rounds
+    (200_000, 2),  # ≥20% → 2 rounds
+    (1, 1),        # any error → 1 round
+)
+
+
+def host_backoff(fetches: DataFrame) -> DataFrame:
+    """(host, n_fetches, n_errors, err_ppm, backoff_rounds) per host
+    from a fetch-results table with ``url`` + ``status``. Errors are
+    429 and 5xx. backoff_rounds tiers by error rate (BACKOFF_TIERS);
+    clean hosts report 0 (kept in the output so the dequeue can join
+    without null semantics)."""
+    host = F.regexp_extract("url", "^https?://([^/]+)", 1)
+    is_err = (
+        (F.col("status") == 429) | (F.col("status") >= 500)
+    ).cast("long")
+    prof = (
+        fetches.select(host.alias("host"), is_err.alias("__err"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+            F.sum("__err").cast("long").alias("n_errors"),
+        )
+    )
+    ppm = F.floor(
+        F.col("n_errors") * 1000000 / F.col("n_fetches")
+    ).cast("long")
+    rounds = F.lit(0).cast("long")
+    for threshold, parked in reversed(BACKOFF_TIERS):
+        rounds = F.when(
+            ppm >= threshold, F.lit(parked).cast("long")
+        ).otherwise(rounds)
+    return prof.select(
+        "host", "n_fetches", "n_errors", ppm.alias("err_ppm"),
+        rounds.alias("backoff_rounds"),
+    )

@@ -47,6 +47,9 @@ MAX_HOPS = 8  # power of two: doubling composes to exactly this cap
 #   * d % 100 == 55 → redirect to url(d+1); d % 100 == 56 → redirect to
 #     url(d−1): a 2-cycle (loop) that must come out `capped`.
 #     (55 % 10 == 5 and 56 % 10 == 6, so the rules never collide.)
+#   * d % 25 == 4 → status 503; d % 25 == 9 → status 429 (failure rows
+#     for the backoff planner; both residues avoid the redirect classes:
+#     %25∈{4,9} → %10∈{4,9} and %100∈{4,29,54,79,9,34,59,84}).
 #   * everything else → status 200, no location.
 # Status picks 301/302 by parity of d for variety; Location may point
 # past the corpus edge (d+1 > max doc_id) — an EXTERNAL terminus the
@@ -68,9 +71,15 @@ def fetch_results_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_loop_back = d % 100 == 56
     is_chain = (d % 10).isin(1, 2, 3)
     is_redirect = is_chain | is_loop_fwd | is_loop_back
-    status = F.when(
-        is_redirect, F.when(d % 2 == 0, F.lit(301)).otherwise(F.lit(302))
-    ).otherwise(F.lit(200))
+    status = (
+        F.when(
+            is_redirect,
+            F.when(d % 2 == 0, F.lit(301)).otherwise(F.lit(302)),
+        )
+        .when(d % 25 == 4, F.lit(503))
+        .when(d % 25 == 9, F.lit(429))
+        .otherwise(F.lit(200))
+    )
     location = (
         F.when(is_loop_back, _url(d - 1))
         .when(is_redirect, _url(d + 1))
@@ -88,6 +97,8 @@ fetch_results AS (
   SELECT
     'https://h' || hid || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
     CAST(CASE WHEN is_redirect THEN CASE WHEN doc_id % 2 = 0 THEN 301 ELSE 302 END
+              WHEN doc_id % 25 = 4 THEN 503
+              WHEN doc_id % 25 = 9 THEN 429
               ELSE 200 END AS INT) AS status,
     CASE
       WHEN doc_id % 100 = 56 THEN

@@ -3308,3 +3308,38 @@ def q_recrawl_politeness_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.coalesce("budget", F.lit(5)))
         .select("host", "rk", "url")
     )
+
+
+def _backoff_oracle() -> str:
+    from .plans.redirects import FETCH_RESULTS_CTE
+
+    return f"""WITH {FETCH_RESULTS_CTE.strip()},
+prof AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         CAST(count(*) AS BIGINT) AS n_fetches,
+         CAST(sum(CASE WHEN status = 429 OR status >= 500 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors
+  FROM fetch_results GROUP BY 1
+)
+SELECT host, n_fetches, n_errors,
+       n_errors * 1000000 // n_fetches AS err_ppm,
+       CAST(CASE WHEN n_errors * 1000000 // n_fetches >= 500000 THEN 4
+                 WHEN n_errors * 1000000 // n_fetches >= 200000 THEN 2
+                 WHEN n_errors * 1000000 // n_fetches >= 1 THEN 1
+                 ELSE 0 END AS BIGINT) AS backoff_rounds
+FROM prof"""
+
+
+@_q("host_backoff_plan", _backoff_oracle())
+def q_host_backoff_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host backoff planning (plans/frontier.host_backoff): per-host 429
+    + 5xx error rates tier into whole-round park decisions (≥50% → 4
+    rounds, ≥20% → 2, any → 1) — the reaction a polite crawler owes a
+    struggling host, and the dequeue's third gating signal next to
+    Crawl-delay budgets and the do-not-crawl mirror list. One
+    partial-aggregated groupBy(host), exact-integer thresholds; the
+    fixture plants 503s (d%25==4) and 429s (d%25==9)."""
+    from .plans.frontier import host_backoff
+    from .plans.redirects import fetch_results_df
+
+    return host_backoff(fetch_results_df(spark, sf_dir))
