@@ -32,6 +32,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 MULTIPLY = int(os.environ.get("BENCH_PAGE_MULTIPLY", "20"))
 REPEAT = int(os.environ.get("BENCH_TEXT_REPEAT", "12"))
 FRONTIER_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "4000000"))
+RECRAWL_URLS = int(os.environ.get("BENCH_RECRAWL_URLS", "2000000"))
+RECRAWL_OBS = int(os.environ.get("BENCH_RECRAWL_OBS", "4"))
 # N and 4N (north rule). Default 4/16 rather than 8/32: a pure-CPU burn
 # on this host scales 3.6x from 4->16 procs but only ~3.0x from 8->32
 # (turbo/SMT cliff at full subscription), so 4/16 isolates JOB scaling
@@ -137,6 +139,50 @@ def run_level(cores: int) -> dict:
     out["dequeue_urls_per_sec"] = round(n_urls / dt, 1)
     fr.unpersist()
 
+    # -- recrawl schedule (round-5 tier: lag window + same-key agg) ---------
+    from warcannon_spark.plans.recrawl import recrawl_schedule
+
+    n_hist_urls = RECRAWL_URLS
+    hist = (
+        spark.range(n_hist_urls * RECRAWL_OBS)
+        .select(
+            F.concat(
+                F.lit("https://h"),
+                F.pmod(F.col("id") % n_hist_urls, F.lit(997)).cast("string"),
+                F.lit(".example/p/"),
+                (F.col("id") % n_hist_urls).cast("string"),
+            ).alias("url"),
+            F.concat(
+                F.lit("h"),
+                F.pmod(F.col("id") % n_hist_urls, F.lit(997)).cast("string"),
+                F.lit(".example"),
+            ).alias("host"),
+            (
+                (F.col("id") / n_hist_urls).cast("long") * 86400
+                + F.col("id") % 97
+            ).alias("fetch_ts"),
+            # ~1/3 of observations change the digest
+            F.xxhash64(
+                F.col("id") % n_hist_urls,
+                F.when(F.xxhash64(F.col("id")) % 3 == 0, F.col("id"))
+                .otherwise(F.lit(0)),
+            ).alias("digest"),
+        )
+        .repartition(64)
+        .persist()
+    )
+    n_hist = hist.count()
+
+    def recrawl():
+        return recrawl_schedule(hist).count()
+
+    recrawl()  # warm
+    dt = min(_timed(recrawl) for _ in range(3))
+    out["recrawl_rows"] = n_hist
+    out["recrawl_sec"] = round(dt, 2)
+    out["recrawl_rows_per_sec"] = round(n_hist / dt, 1)
+    hist.unpersist()
+
     spark.stop()
     return out
 
@@ -166,25 +212,32 @@ def main() -> None:
         best = results.get(cores)
         if best is None or res["pages_per_sec"] > best["pages_per_sec"]:
             if best is not None:
-                res["dequeue_urls_per_sec"] = max(
-                    res["dequeue_urls_per_sec"], best["dequeue_urls_per_sec"]
-                )
-                res["dequeue_sec"] = min(res["dequeue_sec"], best["dequeue_sec"])
+                for rate, sec in (
+                    ("dequeue_urls_per_sec", "dequeue_sec"),
+                    ("recrawl_rows_per_sec", "recrawl_sec"),
+                ):
+                    res[rate] = max(res[rate], best[rate])
+                    res[sec] = min(res[sec], best[sec])
             results[cores] = res
         else:
-            best["dequeue_urls_per_sec"] = max(
-                best["dequeue_urls_per_sec"], res["dequeue_urls_per_sec"]
-            )
-            best["dequeue_sec"] = min(best["dequeue_sec"], res["dequeue_sec"])
+            for rate, sec in (
+                ("dequeue_urls_per_sec", "dequeue_sec"),
+                ("recrawl_rows_per_sec", "recrawl_sec"),
+            ):
+                best[rate] = max(best[rate], res[rate])
+                best[sec] = min(best[sec], res[sec])
 
     r8, r32 = results[LEVELS[0]], results[LEVELS[1]]
     ceiling = cpu_ceiling()
     speed_match = r32["pages_per_sec"] / r8["pages_per_sec"]
     speed_deq = r32["dequeue_urls_per_sec"] / r8["dequeue_urls_per_sec"]
+    speed_rec = r32["recrawl_rows_per_sec"] / r8["recrawl_rows_per_sec"]
     eff_match = speed_match / 4
     eff_deq = speed_deq / 4
+    eff_rec = speed_rec / 4
     norm_match = speed_match / ceiling
     norm_deq = speed_deq / ceiling
+    norm_rec = speed_rec / ceiling
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH/BASELINE.md — scaling-efficiency evidence
@@ -195,7 +248,10 @@ stand-in for N vs 4N executors), throughput at both, efficiency =
 
 Input: synthetic pages corpus from {SF_DIR} (multiply={MULTIPLY},
 repeat={REPEAT} → {r32['match_pages']:,} pages), frontier of
-{r32['frontier_urls']:,} URLs with a ~33% mega-host (skew case).
+{r32['frontier_urls']:,} URLs with a ~33% mega-host (skew case), and a
+fetch history of {r32['recrawl_rows']:,} rows ({RECRAWL_OBS} obs/url —
+the round-5 recrawl estimator: lag window + same-key aggregate, one
+exchange).
 Levels N={LEVELS[0]} / 4N={LEVELS[1]}; interleaved subprocess runs, warm
 Python worker pools, best-of-3 timed passes per level, best-of-2 runs per
 level (shared-host noise protocol).
@@ -213,6 +269,7 @@ describes. Both raw and ceiling-normalized numbers follow.
 | match campaign (pages/sec) | {r8['pages_per_sec']:,} | {r32['pages_per_sec']:,} | {speed_match:.2f}× | {eff_match:.2f} | **{norm_match:.2f}** |
 | match campaign (MB/sec)    | {r8['mb_per_sec']:,} | {r32['mb_per_sec']:,} | — | — | — |
 | frontier dequeue (urls/sec) | {r8['dequeue_urls_per_sec']:,} | {r32['dequeue_urls_per_sec']:,} | {speed_deq:.2f}× | {eff_deq:.2f} | **{norm_deq:.2f}** |
+| recrawl schedule (rows/sec) | {r8['recrawl_rows_per_sec']:,} | {r32['recrawl_rows_per_sec']:,} | {speed_rec:.2f}× | {eff_rec:.2f} | **{norm_rec:.2f}** |
 
 Raw: local[{LEVELS[0]}] = {json.dumps(r8)}
 Raw: local[{LEVELS[1]}] = {json.dumps(r32)}
@@ -237,6 +294,7 @@ campaign telemetry ≈ 24.7k pages/s/node on a 72-vCPU c5n.18xlarge
         f.write(md + tail)
     print(f"match efficiency:   {eff_match:.3f}")
     print(f"dequeue efficiency: {eff_deq:.3f}")
+    print(f"recrawl efficiency: {eff_rec:.3f}")
 
 
 if __name__ == "__main__":
