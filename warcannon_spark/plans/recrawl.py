@@ -167,6 +167,12 @@ def recrawl_schedule(history: DataFrame) -> DataFrame:
     One exchange: the lag window partitions by url and the following
     aggregate groups on the same key (partitioning reuse, plan-asserted).
     URLs with a single observation get the MAX interval (nothing known).
+
+    Ties in fetch_ts within one url leave change ATTRIBUTION order-
+    unspecified (the lag order is then non-total) — n_changes can vary
+    by the tied rows' relative order. A real fetch log never records the
+    same URL twice at the same instant; feed deduplicated history if
+    yours can.
     """
     w = Window.partitionBy("url").orderBy("fetch_ts")
     changed = (
