@@ -262,7 +262,12 @@ def main() -> None:
         )
     )
 
-    mi = mirror_host_pairs(host_pages_df(spark, "/root/testdata/sf0.001"))
+    # materialize_sketch=False: the lazy plan shows the sketch window;
+    # the production default checkpoints it (4 reuse sites).
+    mi = mirror_host_pairs(
+        host_pages_df(spark, "/root/testdata/sf0.001"),
+        materialize_sketch=False,
+    )
     mi_plan = plan_of(mi)
     sections.append(
         (

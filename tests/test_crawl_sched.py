@@ -493,7 +493,11 @@ def test_mirror_sketch_window_is_rank_limited(spark, sf_dir):
         mirror_host_pairs,
     )
 
-    plan = plan_str(mirror_host_pairs(host_pages_df(spark, sf_dir)))
+    plan = plan_str(
+        mirror_host_pairs(
+            host_pages_df(spark, sf_dir), materialize_sketch=False
+        )
+    )
     assert "WindowGroupLimit" in plan, plan
 
 

@@ -137,11 +137,19 @@ host_pages AS (
 
 
 def mirror_host_pairs(
-    pages: DataFrame, k: int = SKETCH_K, min_ppm: int = 0
+    pages: DataFrame,
+    k: int = SKETCH_K,
+    min_ppm: int = 0,
+    materialize_sketch: bool = True,
 ) -> DataFrame:
     """(host_a, host_b, shared, k_a, k_b, overlap_ppm, is_mirror) for
     host pairs sharing ≥1 sketch digest (host_a < host_b). ``min_ppm``
-    pre-filters the output (0 keeps every candidate pair)."""
+    pre-filters the output (0 keeps every candidate pair).
+
+    ``materialize_sketch`` localCheckpoints the k·|hosts|-row sketch:
+    it feeds the size aggregate AND both self-join sides, so the lazy
+    plan would re-run the corpus distinct+window THREE more times.
+    Set False only for plan inspection."""
     w = Window.partitionBy("host").orderBy("digest")
     sketch = (
         pages.select("host", "digest")
@@ -150,6 +158,8 @@ def mirror_host_pairs(
         .where(F.col("rk") <= k)
         .drop("rk")
     )
+    if materialize_sketch:
+        sketch = sketch.localCheckpoint()
     sizes = sketch.groupBy("host").agg(
         F.count(F.lit(1)).cast("long").alias("k_size")
     )
