@@ -333,6 +333,7 @@ def main() -> None:
         "sitemap_delta",
         "recrawl_politeness_plan",
         "host_backoff_plan",
+        "url_alias_map",
         # streaming_recrawl_changes is NOT benched here: its first call
         # pays the one-time streaming drain and later calls read the
         # cached table — _best_of's spread guard would see the cliff as

@@ -674,3 +674,18 @@ def test_host_backoff_tiers(spark):
     assert out["mild.example"]["backoff_rounds"] == 1
     assert out["ok.example"]["backoff_rounds"] == 0
     assert out["r.example"]["n_errors"] == 0
+
+
+def test_url_alias_map_folds_both_signals(spark, sf_dir):
+    from warcannon_spark.queries import QUERIES
+
+    out = QUERIES["url_alias_map"](spark, sf_dir).toPandas()
+    moved = out[out.n_hops > 0]
+    # redirect chains (1-3 hops) AND canonical 1-hop aliases both present
+    assert moved.n_hops.max() >= 2
+    assert (moved.disposition == "resolved").all()
+    # an aliased URL never maps to itself
+    assert (moved.final_url != moved.url).all()
+    # 200-with-self-canonical pages stay terminal
+    stay = out[out.n_hops == 0]
+    assert (stay.final_url == stay.url).all()

@@ -3343,3 +3343,72 @@ def q_host_backoff_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.redirects import fetch_results_df
 
     return host_backoff(fetch_results_df(spark, sf_dir))
+
+
+def _alias_map_oracle() -> str:
+    from .operators.html import CANONICAL_RE
+    from .plans.redirects import resolve_redirects_sql
+    from .sources.htmlpages import HTML_PAGES_CTE
+
+    # One aliasing relation from BOTH signals: HTTP 3xx Location edges
+    # (derived here from the fetch_results fixture residues over the
+    # same doc_id space) and rel=canonical edges from raw markup.
+    fetches_cte = f"""{HTML_PAGES_CTE.strip()},
+fetch_results AS (
+  SELECT url,
+         CAST(CASE WHEN is_redir THEN 301
+                   WHEN can <> '' AND can <> url THEN 301
+                   ELSE 200 END AS INT) AS status,
+         CASE WHEN is_redir THEN
+                'https://h' || CAST(CASE WHEN (doc_id + 1) % 3 = 0 THEN 0
+                                         ELSE (doc_id + 1) % 37 END AS VARCHAR)
+                  || '.example/p/' || CAST(doc_id + 1 AS VARCHAR)
+              WHEN can <> '' AND can <> url THEN can
+              ELSE NULL END AS location
+  FROM (
+    SELECT url, doc_id, doc_id % 10 IN (1, 2, 3) AS is_redir,
+           regexp_extract(html, '{CANONICAL_RE}', 1) AS can
+    FROM html_pages
+  )
+)"""
+    return resolve_redirects_sql(fetches_cte)
+
+
+@_q("url_alias_map", _alias_map_oracle())
+def q_url_alias_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production URL-aliasing map: HTTP 3xx chains AND rel=canonical
+    links folded into ONE edge set and resolved by a single
+    pointer-doubling pass — a frontier canonicalizes against this map
+    before the seen-probe so redirect targets and canonical targets
+    collapse to the same frontier key. Redirect edges take precedence
+    when a URL carries both signals (here the planted residues are
+    disjoint: d%10∈{1,2,3} redirects, d%10==9 canonicals)."""
+    from .operators.html import extract_page_meta
+    from .plans.redirects import resolve_redirects
+    from .sources.htmlpages import html_pages_df
+
+    pages = html_pages_df(spark, sf_dir)
+    meta = extract_page_meta(pages, keep=("url", "doc_id"))
+    d = F.col("doc_id")
+    hid_next = F.when((d + 1) % 3 == 0, F.lit(0)).otherwise(
+        (d + 1) % 37
+    ).cast("string")
+    redir_target = F.concat(
+        F.lit("https://h"), hid_next, F.lit(".example/p/"),
+        (d + 1).cast("string"),
+    )
+    is_redir = (d % 10).isin(1, 2, 3)
+    can_div = (F.col("canonical_url") != "") & (
+        F.col("canonical_url") != F.col("url")
+    )
+    fetches = meta.select(
+        "url",
+        F.when(is_redir | can_div, F.lit(301))
+        .otherwise(F.lit(200))
+        .cast("int")
+        .alias("status"),
+        F.when(is_redir, redir_target)
+        .when(can_div, F.col("canonical_url"))
+        .alias("location"),
+    )
+    return resolve_redirects(fetches)
