@@ -689,3 +689,25 @@ def test_url_alias_map_folds_both_signals(spark, sf_dir):
     # 200-with-self-canonical pages stay terminal
     stay = out[out.n_hops == 0]
     assert (stay.final_url == stay.url).all()
+
+
+def test_dequeue_blocked_hosts_gate(spark):
+    from warcannon_spark.plans import frontier as FR
+
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 5}.example/p/{i}",) for i in range(50)],
+        "url string",
+    )
+    fr = FR.frontier_rows(urls, round_no=0)
+    blocked = spark.createDataFrame(
+        [("h1.example",), ("h3.example",)], "host string"
+    )
+    batch = FR.politeness_dequeue(
+        fr, round_no=1, budget_per_host=100, blocked_hosts=blocked
+    )
+    hosts = {r["host"] for r in batch.select("host").distinct().collect()}
+    assert hosts == {"h0.example", "h2.example", "h4.example"}
+    # gate is a broadcast anti-join, window shape untouched
+    plan = plan_str(batch)
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan

@@ -105,6 +105,7 @@ def politeness_dequeue(
     max_hosts: int | None = None,
     host_priority: DataFrame | None = None,
     host_budgets: DataFrame | None = None,
+    blocked_hosts: DataFrame | None = None,
 ) -> DataFrame:
     """Take ≤ budget_per_host URLs per host from the eligible set, under
     the deterministic total order (priority desc, url_hash) — W1/W2/W3.
@@ -142,6 +143,16 @@ def politeness_dequeue(
     Final — plan-asserted in tests/test_plans.py. See module docstring.
     """
     elig = eligible_now(frontier, round_no)
+    if blocked_hosts is not None:
+        # Do-not-crawl gate (first column = host): mirror hosts
+        # (hostprofile.mirror_host_pairs is_mirror), backed-off hosts
+        # (frontier.host_backoff backoff_rounds > 0 for the round), or
+        # any operator-supplied blocklist. Broadcast anti-join BEFORE
+        # the window so blocked hosts never occupy window budget.
+        blk = blocked_hosts.select(
+            F.col(blocked_hosts.columns[0]).alias("host")
+        )
+        elig = elig.join(F.broadcast(blk), "host", "left_anti")
     if max_hosts is not None:
         hosts = elig.groupBy("host").agg(F.max("priority").alias("__fp"))
         if host_priority is not None:
