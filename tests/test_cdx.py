@@ -1,0 +1,138 @@
+"""CDX(J) index construction (sources/cdx.py) + SURT key (functions/urls).
+
+Pins: the SURT rule table (both twins), the written layout's invariants
+(per-shard sortedness, non-overlapping shard ranges, cluster.idx
+consistency with the shard contents), and that the prefix lookup actually
+PRUNES (reads a strict subset of the shard files) while missing nothing.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SURT_CASES = [
+    ("https://www.Example.COM/Path/A?b=2&a=1", "com,example)/path/a?a=1&b=2"),
+    ("http://h0.example/p/12", "example,h0)/p/12"),
+    ("https://h3.example:8443/x?z&", "example,h3:8443)/x?z"),
+    ("http://site.example:80/q?u=1", "example,site)/q?u=1"),
+    ("https://one.two.three.example/", "example,three,two,one)/"),
+    ("https://host.example", "example,host)/"),
+    ("HTTPS://WWW.UPPER.example/A#frag", "example,upper)/a"),
+    ("http://www.example.com:8080/a?b&&c=1", "com,example:8080)/a?b&c=1"),
+    ("not-a-url", "not-a-url"),  # opaque passthrough
+    ("ftp://files.example:21/pub", "example,files:21)/pub"),
+]
+
+
+def test_surt_key_rule_table_spark(spark):
+    from warcannon_spark.functions.urls import surt_key
+
+    df = spark.createDataFrame(
+        [(u,) for u, _ in SURT_CASES], "url string"
+    ).select("url", surt_key(F.col("url")).alias("surt"))
+    got = {r.url: r.surt for r in df.collect()}
+    for url, want in SURT_CASES:
+        assert got[url] == want, url
+
+
+def test_surt_key_sql_twin_matches():
+    duckdb = pytest.importorskip("duckdb")
+    from warcannon_spark.functions.urls import surt_key_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(url VARCHAR)")
+    for url, _ in SURT_CASES:
+        con.execute("INSERT INTO u VALUES (?)", [url])
+    got = dict(
+        con.execute(f"SELECT url, {surt_key_sql('url')} FROM u").fetchall()
+    )
+    for url, want in SURT_CASES:
+        assert got[url] == want, url
+
+
+@pytest.fixture(scope="module")
+def cdx_dir(spark, sf_dir, tmp_path_factory):
+    from warcannon_spark.sources.cdx import cdx_records, write_cdx
+    from warcannon_spark.sources.pages import pages_df
+
+    out = str(tmp_path_factory.mktemp("cdx"))
+    write_cdx(spark, cdx_records(pages_df(spark, sf_dir)), out, shards=8)
+    return out
+
+
+def _shard_lines(cdx_dir: str) -> dict[str, list[tuple[str, str]]]:
+    shards: dict[str, list[tuple[str, str]]] = {}
+    d = os.path.join(cdx_dir, "cdx")
+    for name in sorted(os.listdir(d)):
+        if not name.startswith("part-"):
+            continue
+        with open(os.path.join(d, name)) as f:
+            keys = []
+            for line in f:
+                surt, ts14, _ = line.rstrip("\n").split(" ", 2)
+                keys.append((surt, ts14))
+        if keys:
+            shards[name] = keys
+    return shards
+
+
+def test_shards_sorted_and_nonoverlapping(cdx_dir, spark, sf_dir):
+    from warcannon_spark.sources.pages import pages_df
+
+    shards = _shard_lines(cdx_dir)
+    assert len(shards) > 1
+    for keys in shards.values():
+        assert keys == sorted(keys)
+    ranges = sorted((k[0], k[-1]) for k in shards.values())
+    for (_, prev_hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert prev_hi <= lo  # ranges never interleave
+    total = sum(len(k) for k in shards.values())
+    assert total == pages_df(spark, sf_dir).count()
+
+
+def test_cluster_idx_matches_shard_contents(cdx_dir, spark):
+    idx = {
+        r.file: r
+        for r in spark.read.json(
+            os.path.join(cdx_dir, "cluster.idx")
+        ).collect()
+    }
+    shards = _shard_lines(cdx_dir)
+    assert len(idx) == len(shards)
+    for file, row in idx.items():
+        keys = shards[os.path.basename(file)]
+        assert row.first_surt == keys[0][0]
+        assert row.last_surt == keys[-1][0]
+        assert row.n == len(keys)
+
+
+def test_prefix_lookup_prunes_and_is_exact(cdx_dir, spark, sf_dir):
+    from warcannon_spark.sources.cdx import cdx_prefix_lookup, cdx_records
+    from warcannon_spark.sources.pages import pages_df
+
+    prefix = "example,h17)"
+    looked = cdx_prefix_lookup(spark, cdx_dir, prefix)
+    n_all = len(_shard_lines(cdx_dir))
+    n_read = len(set(looked.inputFiles()))
+    assert 0 < n_read < n_all  # cluster.idx pruned shard files
+
+    want = (
+        cdx_records(pages_df(spark, sf_dir))
+        .filter(F.col("surt").startswith(prefix))
+        .collect()
+    )
+    got = looked.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_prefix_lookup_miss_is_empty_with_schema(cdx_dir, spark):
+    from warcannon_spark.sources.cdx import cdx_prefix_lookup
+
+    out = cdx_prefix_lookup(spark, cdx_dir, "zzz,nonexistent)")
+    assert out.count() == 0
+    assert out.columns == [
+        "surt", "ts14", "url", "digest", "mime", "status", "length_bytes",
+    ]

@@ -711,3 +711,60 @@ def test_dequeue_blocked_hosts_gate(spark):
     plan = plan_str(batch)
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+PSL_CASES = [
+    # (host, expected registrable domain) — every publicsuffix.org branch
+    ("a.blog.example.co.uk", "example.co.uk"),  # multi-label rule
+    ("example.co.uk", "example.co.uk"),
+    ("co.uk", None),                            # bare suffix
+    ("uk", None),
+    ("foo.uk", "foo.uk"),                       # shorter rule
+    ("www.ck", "www.ck"),                       # exception beats wildcard
+    ("x.www.ck", "www.ck"),
+    ("foo.bar.ck", "foo.bar.ck"),               # wildcard *.ck
+    ("bar.ck", None),                           # wildcard makes it a suffix
+    ("deep.sub.h0.example", "h0.example"),
+    ("single", None),                           # default '*' rule, bare TLD
+    ("a.single", "a.single"),
+    ("WWW.Example.COM", "example.com"),         # case-insensitive
+]
+
+
+def test_registrable_domain_rule_table(spark):
+    from warcannon_spark.functions.urls import registrable_domain
+
+    df = spark.createDataFrame(
+        [(h,) for h, _ in PSL_CASES], "host string"
+    ).select("host", registrable_domain(F.col("host")).alias("pld"))
+    got = {r.host: r.pld for r in df.collect()}
+    for host, want in PSL_CASES:
+        assert got[host] == want, host
+
+
+def test_registrable_domain_sql_twin_matches():
+    import duckdb
+
+    from warcannon_spark.functions.urls import registrable_domain_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(host VARCHAR)")
+    for host, _ in PSL_CASES:
+        con.execute("INSERT INTO t VALUES (?)", [host])
+    got = dict(
+        con.execute(
+            f"SELECT host, {registrable_domain_sql('host')} FROM t"
+        ).fetchall()
+    )
+    for host, want in PSL_CASES:
+        assert got[host] == want, host
+
+
+def test_registrable_domain_plan_is_pure_native(spark):
+    from warcannon_spark.functions.urls import registrable_domain
+
+    df = spark.createDataFrame([("a.b.com",)], "host string").select(
+        registrable_domain(F.col("host"))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -3412,3 +3412,201 @@ def q_url_alias_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("location"),
     )
     return resolve_redirects(fetches)
+
+
+# ---------------------------------------------------------------------------
+# CDX(J) URL-index construction (round 5, session 3) — the write side of
+# the ccindex (S6 reads it; these build it; sources/cdx.py).
+
+
+def _cdx_oracle(where: str = "") -> str:
+    from .functions.urls import surt_key_sql
+    from .sources.cdx import CDX_BASE_EPOCH
+
+    surt = surt_key_sql("url")
+    return f"""WITH {PAGES_CTE}
+SELECT surt, ts14, url, digest, mime, status, length_bytes FROM (
+  SELECT {surt} AS surt,
+         strftime(make_timestamp(CAST({CDX_BASE_EPOCH} + fetch_seq AS BIGINT)
+                                 * 1000000), '%Y%m%d%H%M%S') AS ts14,
+         url, md5(text) AS digest, 'text/html' AS mime,
+         CAST(200 AS INT) AS status,
+         CAST(strlen(text) AS INT) AS length_bytes
+  FROM pages
+){where}"""
+
+
+@_q("cdx_records", _cdx_oracle())
+def q_cdx_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX record derivation (sources/cdx.cdx_records): SURT key (native
+    whole-stage-codegen expression, DuckDB twin byte-equal), 14-digit UTC
+    fetch timestamp, md5 digest, byte length — the row format of the URL
+    index the reference queries via Athena (bin/warcannon.js ccindex
+    url_surtkey/fetch_time columns)."""
+    from .sources.cdx import cdx_records
+
+    return cdx_records(pages_df(spark, sf_dir))
+
+
+@_q(
+    "cdx_prefix_lookup",
+    _cdx_oracle(" WHERE starts_with(surt, 'example,h17)')"),
+)
+def q_cdx_prefix_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix lookup through the WRITTEN index (sources/cdx.py): the full
+    corpus is sharded into range-partitioned sorted CDXJ text files with a
+    cluster.idx secondary index (cached fixture); the lookup collects only
+    cluster.idx (O(shards)), opens only the shards whose key range can
+    contain the prefix, and parses lines back. Hash-green against the
+    from-source oracle ⇒ the layout round-trips byte-exactly AND the
+    pruned read misses nothing."""
+    from .sources.cdx import cdx_fixture_dir, cdx_prefix_lookup
+
+    path = cdx_fixture_dir(spark, sf_dir, shards=16)
+    return cdx_prefix_lookup(spark, path, "example,h17)")
+
+
+# ---------------------------------------------------------------------------
+# Registrable-domain politeness (round 5, session 3) — public-suffix
+# algorithm (functions/urls.registrable_domain) + per-PLD budgets.
+
+# Planted host corpus spanning every rule family: multi-label suffixes
+# (co.uk), wildcard (*.ck), exception (!www.ck), bare suffixes (NULL),
+# unknown TLDs (default '*' rule), subdomain-rich PLD groups.
+_PSL_HOSTS_CTE = """
+psl_hosts AS (
+  SELECT doc_id,
+    CASE doc_id % 7
+      WHEN 0 THEN 'a' || CAST(doc_id % 5 AS VARCHAR) || '.h'
+                  || CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                               ELSE doc_id % 37 END AS VARCHAR)
+                  || '.example'
+      WHEN 1 THEN 'b' || CAST(doc_id % 4 AS VARCHAR) || '.site'
+                  || CAST(doc_id % 3 AS VARCHAR) || '.co.uk'
+      WHEN 2 THEN 'www.site' || CAST(doc_id % 6 AS VARCHAR) || '.com'
+      WHEN 3 THEN 'x' || CAST(doc_id % 3 AS VARCHAR) || '.w'
+                  || CAST(doc_id % 2 AS VARCHAR) || '.ck'
+      WHEN 4 THEN 'www.ck'
+      WHEN 5 THEN 'co.uk'
+      ELSE 'n' || CAST(doc_id % 9 AS VARCHAR) || '.tld'
+                  || CAST(doc_id % 2 AS VARCHAR)
+    END AS host,
+    (doc_id * 2654435761) % 1000000 AS priority
+  FROM documents
+)"""
+
+
+def _psl_hosts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    hid = F.when(d % 3 == 0, F.lit(0)).otherwise(d % 37).cast("string")
+    host = (
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.lit("a"), (d % 5).cast("string"), F.lit(".h"), hid,
+                F.lit(".example"),
+            ),
+        )
+        .when(
+            d % 7 == 1,
+            F.concat(
+                F.lit("b"), (d % 4).cast("string"), F.lit(".site"),
+                (d % 3).cast("string"), F.lit(".co.uk"),
+            ),
+        )
+        .when(
+            d % 7 == 2,
+            F.concat(F.lit("www.site"), (d % 6).cast("string"), F.lit(".com")),
+        )
+        .when(
+            d % 7 == 3,
+            F.concat(
+                F.lit("x"), (d % 3).cast("string"), F.lit(".w"),
+                (d % 2).cast("string"), F.lit(".ck"),
+            ),
+        )
+        .when(d % 7 == 4, F.lit("www.ck"))
+        .when(d % 7 == 5, F.lit("co.uk"))
+        .otherwise(
+            F.concat(
+                F.lit("n"), (d % 9).cast("string"), F.lit(".tld"),
+                (d % 2).cast("string"),
+            )
+        )
+    )
+    return docs.select(
+        d.alias("doc_id"),
+        host.alias("host"),
+        ((d * F.lit(2654435761)) % 1000000).alias("priority"),
+    )
+
+
+def _registrable_domain_oracle() -> str:
+    from .functions.urls import registrable_domain_sql
+
+    return f"""WITH {_PSL_HOSTS_CTE.strip()}
+SELECT doc_id, host, {registrable_domain_sql('host')} AS pld
+FROM psl_hosts"""
+
+
+@_q("registrable_domain", _registrable_domain_oracle())
+def q_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public-suffix algorithm (functions/urls.registrable_domain): the
+    publicsuffix.org prevailing-rule computation — exception beats
+    longest beats default-'*', wildcard labels, bare suffixes → NULL —
+    compiled from PSL_RULES into pure native expressions (the matcher's
+    config-compile idiom; the DuckDB twin is generated from the SAME
+    constant). Politeness at real crawl scale keys on THIS, not on
+    hostname."""
+    from .functions.urls import registrable_domain
+
+    hosts = _psl_hosts_df(spark, sf_dir)
+    return hosts.select(
+        "doc_id", "host", registrable_domain(F.col("host")).alias("pld")
+    )
+
+
+def _pld_topk_oracle() -> str:
+    from .functions.urls import registrable_domain_sql
+
+    pld = registrable_domain_sql("host")
+    return f"""WITH {_PSL_HOSTS_CTE.strip()},
+keyed AS (
+  SELECT host, priority, doc_id, {pld} AS pld FROM psl_hosts
+  WHERE {pld} IS NOT NULL
+),
+ranked AS (
+  SELECT pld, host, priority, doc_id,
+         row_number() OVER (PARTITION BY pld
+                            ORDER BY priority DESC, doc_id) AS pld_rank
+  FROM keyed
+)
+SELECT pld, host, priority, doc_id, pld_rank
+FROM ranked WHERE pld_rank <= 2"""
+
+
+@_q("pld_politeness_topk", _pld_topk_oracle())
+def q_pld_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-REGISTRABLE-DOMAIN politeness budget: the W1 window mechanics
+    keyed on registrable_domain(host) instead of hostname, so sibling
+    subdomains (a0.h7.example, a1.h7.example, …) share one budget — the
+    grouping real crawlers use to stop a single site sharding itself
+    around the per-host cap. Same deterministic order key and map-side
+    WindowGroupLimit shape as politeness_dequeue."""
+    from pyspark.sql import Window
+
+    from .functions.urls import registrable_domain
+
+    hosts = _psl_hosts_df(spark, sf_dir)
+    keyed = hosts.withColumn(
+        "pld", registrable_domain(F.col("host"))
+    ).filter(F.col("pld").isNotNull())
+    w = Window.partitionBy("pld").orderBy(
+        F.col("priority").desc(), F.col("doc_id")
+    )
+    return (
+        keyed.withColumn("pld_rank", F.row_number().over(w))
+        .filter(F.col("pld_rank") <= 2)
+        .select("pld", "host", "priority", "doc_id", "pld_rank")
+    )

@@ -1,0 +1,190 @@
+"""CDX(J) URL-index construction — the WRITE side of the ccindex the
+reference queries.
+
+The reference scopes campaigns by querying Common Crawl's columnar URL
+index (bin/warcannon.js:194 ccindex DDL: ``url_surtkey``, ``fetch_time``,
+``warc_record_offset/length`` …; ``sources/ccindex.py`` here is the read
+side).  That index is itself BUILT from the WARCs as a sorted, sharded
+CDXJ file set plus a tiny secondary index — the pywb/zipnum layout:
+lines ``<surt-key> <ts14> <json>``, shards internally sorted with
+non-overlapping key ranges, and a ``cluster.idx`` whose one-line-per-shard
+(first key, last key, count) lets a prefix lookup open only the shards
+that can contain the prefix.  This module builds that layout Spark-first:
+
+* :func:`cdx_records` — pages → ``(surt, ts14, url, digest, mime,
+  status, length_bytes)``; every column is a native expression
+  (``surt_key`` is whole-stage-codegen'd, digest is ``md5`` — DuckDB has
+  no ``sha1``, so the oracle-checked digest is md5; the real CDX field
+  is a sha1-b32, a one-line swap on a cluster with a sha1-capable twin).
+* :func:`write_cdx` — ``repartitionByRange(shards, surt, ts14)``:
+  Spark's range partitioner (sampled split points) IS the zipnum
+  sharder — then ``sortWithinPartitions`` and one text file per shard.
+  ``cluster.idx`` is derived from the written lines in ONE scan
+  (``input_file_name`` group-by → first/last key + count per shard).
+* :func:`cdx_prefix_lookup` — collect ``cluster.idx`` (O(shards) rows,
+  the only driver-side state), keep shards whose [first,last] range
+  intersects the prefix interval, read ONLY those files (file-granular
+  partition pruning), parse lines back and filter.
+
+100-TB notes: no global sort anywhere — the sort is per-shard after a
+range exchange; ``shards`` scales with data volume; the lookup touches
+O(matching shards) bytes, not the index.  At Common-Crawl scale this is
+exactly the published cluster.idx/zipnum access path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.urls import surt_key
+
+# Epoch anchor for the synthetic corpus' fetch time (2024-01-01T00:00:00Z),
+# shared with the streaming fixture derivation in queries.py.
+CDX_BASE_EPOCH = 1704067200
+
+# JSON payload field order is the struct field order (to_json preserves it).
+_JSON_SCHEMA = (
+    "url string, digest string, mime string, status int, length_bytes int"
+)
+
+
+def cdx_records(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    seq_col: str = "fetch_seq",
+    mime: str = "text/html",
+    status: int = 200,
+) -> DataFrame:
+    """CDX record columns from a pages frame — all native expressions.
+
+    ``ts14`` (the CDX 14-digit UTC timestamp) is synthesized from the
+    deterministic ``fetch_seq`` order key; a real WARC corpus passes its
+    ``warc_ts`` through ``date_format(…, 'yyyyMMddHHmmss')`` instead.
+    """
+    return pages.select(
+        surt_key(F.col(url_col)).alias("surt"),
+        F.date_format(
+            F.timestamp_seconds(F.lit(CDX_BASE_EPOCH) + F.col(seq_col)),
+            "yyyyMMddHHmmss",
+        ).alias("ts14"),
+        F.col(url_col).alias("url"),
+        F.md5(F.col(text_col)).alias("digest"),
+        F.lit(mime).alias("mime"),
+        F.lit(status).alias("status"),
+        F.octet_length(F.col(text_col)).alias("length_bytes"),
+    )
+
+
+def write_cdx(
+    spark: SparkSession, records: DataFrame, out_dir: str, shards: int = 16
+) -> str:
+    """Write the sharded sorted CDXJ layout + cluster.idx; returns out_dir.
+
+    Shard assignment is ``repartitionByRange`` on (surt, ts14) — sampled
+    split points give balanced shards even under host skew (the mega-host
+    splits across shards at a ts14 boundary; ranges stay non-overlapping,
+    which is all the lookup needs).
+    """
+    line = F.concat_ws(
+        " ",
+        F.col("surt"),
+        F.col("ts14"),
+        F.to_json(
+            F.struct("url", "digest", "mime", "status", "length_bytes")
+        ),
+    )
+    (
+        records.repartitionByRange(shards, "surt", "ts14")
+        .sortWithinPartitions("surt", "ts14")
+        .select(line.alias("value"))
+        .write.mode("overwrite")
+        .text(os.path.join(out_dir, "cdx"))
+    )
+    lines = spark.read.text(os.path.join(out_dir, "cdx"))
+    parts = F.split(F.col("value"), " ", 3)
+    parsed = lines.select(
+        F.input_file_name().alias("file"),
+        parts.getItem(0).alias("surt"),
+        parts.getItem(1).alias("ts14"),
+    )
+    idx = parsed.groupBy("file").agg(
+        F.min(F.struct("surt", "ts14")).alias("lo"),
+        F.max(F.struct("surt", "ts14")).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    (
+        idx.select(
+            "file",
+            F.col("lo.surt").alias("first_surt"),
+            F.col("hi.surt").alias("last_surt"),
+            "n",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(os.path.join(out_dir, "cluster.idx"))
+    )
+    return out_dir
+
+
+def cdx_prefix_lookup(
+    spark: SparkSession, out_dir: str, prefix: str
+) -> DataFrame:
+    """Prefix lookup through cluster.idx: open only intersecting shards.
+
+    A shard can contain a key starting with ``prefix`` iff its range
+    [first, last] intersects [prefix, prefix∥MAXCHAR); the superset test
+    below is exact for ASCII SURT keys.
+    """
+    idx_rows = spark.read.json(os.path.join(out_dir, "cluster.idx")).collect()
+    hi = prefix + "￿"
+    files = [
+        r.file
+        for r in idx_rows
+        if r.last_surt >= prefix and r.first_surt <= hi
+    ]
+    empty_schema = (
+        "surt string, ts14 string, url string, digest string,"
+        " mime string, status int, length_bytes int"
+    )
+    if not files:
+        return spark.createDataFrame([], empty_schema)
+    lines = spark.read.text(files)
+    parts = F.split(F.col("value"), " ", 3)
+    parsed = lines.select(
+        parts.getItem(0).alias("surt"),
+        parts.getItem(1).alias("ts14"),
+        F.from_json(parts.getItem(2), _JSON_SCHEMA).alias("j"),
+    )
+    return parsed.filter(F.col("surt").startswith(prefix)).select(
+        "surt", "ts14", "j.url", "j.digest", "j.mime", "j.status",
+        "j.length_bytes",
+    )
+
+
+# Bump when the CDX derivation changes — cached fixtures key on it.
+CDX_VERSION = 1
+
+
+def cdx_fixture_dir(
+    spark: SparkSession, sf_dir: str, shards: int = 16
+) -> str:
+    """Build (once, cached per sf_dir) the sharded CDX layout over the
+    full synthetic pages corpus; returns the directory."""
+    from .pages import PAGES_VERSION, pages_df
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = (
+        f"/tmp/wc_cdx_fixture_v{PAGES_VERSION}.{CDX_VERSION}_{tag}_s{shards}"
+    )
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        write_cdx(
+            spark, cdx_records(pages_df(spark, sf_dir)), path, shards=shards
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return path
