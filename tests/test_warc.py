@@ -349,3 +349,45 @@ def test_ranged_fetch_member_granularity_and_dedup(spark, tmp_path):
         for r in read_warc_records_ranged(doubled).collect()
     ]
     assert sorted(urls) == ["https://m.example/a", "https://m.example/b"]
+
+
+def test_revisit_records_semantics_and_plan(spark):
+    from warcannon_spark.sources.warc import revisit_records
+
+    rows = [
+        # (url, fetch_seq, text): A twice on the same url, B mirrored on
+        # two hosts, C unique.
+        ("https://a.example/1", 1, "AAA"),
+        ("https://a.example/1", 7, "AAA"),
+        ("https://b.example/1", 2, "BBB"),
+        ("https://c.example/9", 5, "BBB"),
+        ("https://d.example/2", 3, "CCC"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, fetch_seq long, text string"
+    )
+    out = revisit_records(pages)
+    got = {(r.url, r.fetch_seq): r for r in out.collect()}
+    assert got[("https://a.example/1", 1)].record_type == "response"
+    rv = got[("https://a.example/1", 7)]
+    assert rv.record_type == "revisit"
+    assert rv.refers_to_url == "https://a.example/1"
+    assert rv.refers_to_seq == 1
+    mirror = got[("https://c.example/9", 5)]
+    assert mirror.record_type == "revisit"
+    assert mirror.refers_to_url == "https://b.example/1"
+    assert got[("https://d.example/2", 3)].record_type == "response"
+    # exactly one 'response' per distinct digest
+    n_resp = sum(1 for r in got.values() if r.record_type == "response")
+    assert n_resp == 3
+    # one digest shuffle, no Python eval in the plan (AQE echoes the
+    # exchange once per query-stage section — count unique plan ids)
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    ids = set(
+        re.findall(r"Exchange hashpartitioning[^\n]*plan_id=(\d+)", final)
+    )
+    assert len(ids) == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

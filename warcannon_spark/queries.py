@@ -3610,3 +3610,75 @@ def q_pld_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pld_rank") <= 2)
         .select("pld", "host", "priority", "doc_id", "pld_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC revisit records (round 5, session 3) — digest dedup at write time.
+
+# Refetch corpus: every page once, plus an unchanged REFETCH (same url,
+# later fetch_seq) for doc_id%4==1 and a MIRROR copy (different host/url,
+# same text) for doc_id%5==2. offset constants keep fetch_seq unique.
+_REFETCH_CTE = """
+refetches AS (
+  SELECT url, fetch_seq, text FROM pages
+  UNION ALL
+  SELECT url, fetch_seq + 1000000 AS fetch_seq, text
+  FROM pages WHERE fetch_seq % 4 = 1
+  UNION ALL
+  SELECT 'https://mirror.example/m/' || CAST(fetch_seq AS VARCHAR) AS url,
+         fetch_seq + 2000000 AS fetch_seq, text
+  FROM pages WHERE fetch_seq % 5 = 2
+)"""
+
+
+def _refetch_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_df(spark, sf_dir).select("url", "fetch_seq", "text")
+    refetch = pages.filter(F.col("fetch_seq") % 4 == 1).select(
+        "url", (F.col("fetch_seq") + 1000000).alias("fetch_seq"), "text"
+    )
+    mirror = pages.filter(F.col("fetch_seq") % 5 == 2).select(
+        F.concat(
+            F.lit("https://mirror.example/m/"),
+            F.col("fetch_seq").cast("string"),
+        ).alias("url"),
+        (F.col("fetch_seq") + 2000000).alias("fetch_seq"),
+        "text",
+    )
+    return pages.unionByName(refetch).unionByName(mirror)
+
+
+def _revisit_oracle() -> str:
+    return f"""WITH {PAGES_CTE.strip()},
+{_REFETCH_CTE.strip()},
+keyed AS (
+  SELECT url, fetch_seq, md5(text) AS digest FROM refetches
+),
+firsts AS (
+  SELECT url, fetch_seq, digest,
+         first_value(url) OVER w AS first_url,
+         first_value(fetch_seq) OVER w AS first_seq
+  FROM keyed
+  WINDOW w AS (PARTITION BY digest ORDER BY fetch_seq, url
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT url, fetch_seq, digest,
+       CASE WHEN fetch_seq = first_seq AND url = first_url
+            THEN 'response' ELSE 'revisit' END AS record_type,
+       CASE WHEN fetch_seq = first_seq AND url = first_url
+            THEN NULL ELSE first_url END AS refers_to_url,
+       CASE WHEN fetch_seq = first_seq AND url = first_url
+            THEN NULL ELSE first_seq END AS refers_to_seq
+FROM firsts"""
+
+
+@_q("warc_revisit_dedup", _revisit_oracle())
+def q_warc_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit-record planning (sources/warc.revisit_records): the
+    first store of a payload digest is a full 'response'; every later
+    fetch with the same digest (unchanged refetches AND cross-host
+    mirrors) becomes a 'revisit' carrying WARC-Refers-To pointers to the
+    original — the storage-side twin of the URL-seen set (J3), keyed on
+    CONTENT digest. One shuffle; first-row-only window frame."""
+    from .sources.warc import revisit_records
+
+    return revisit_records(_refetch_df(spark, sf_dir))

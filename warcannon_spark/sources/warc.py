@@ -459,3 +459,56 @@ def warc_fixture_dir(
         with open(done, "w") as f:
             f.write("ok")
     return path
+
+
+# -- revisit records: digest-identical dedup at WARC-writing time ----------
+#
+# The WARC spec's answer to refetched-but-unchanged content: the first
+# store of a payload digest is a full 'response' record; any later fetch
+# whose digest is already on file is written as a 'revisit' record that
+# carries only headers plus WARC-Refers-To(-Target-URI/-Date) pointing at
+# the original. Common Crawl and every digest-deduplicating crawler do
+# this; it is the storage-side twin of the frontier's URL-seen set (J3 —
+# that one dedups by URL key, this one by CONTENT digest, so mirrors and
+# soft-redirect clones collapse too).
+
+
+def revisit_records(pages: "DataFrame", digest_col=None) -> "DataFrame":
+    """Classify each fetch as 'response' (first occurrence of its payload
+    digest in fetch order) or 'revisit' (+ refers_to_url / refers_to_seq
+    of the original). One shuffle on digest; the window needs only the
+    partition's first row (min over an unbounded-preceding frame), so a
+    hot digest (boilerplate shared by millions of pages) streams instead
+    of buffering.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    digest = digest_col if digest_col is not None else F.md5(F.col("text"))
+    keyed = pages.select(
+        "url", "fetch_seq", digest.alias("digest")
+    )
+    w = (
+        Window.partitionBy("digest")
+        .orderBy("fetch_seq", "url")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    first_url = F.first("url").over(w)
+    first_seq = F.first("fetch_seq").over(w)
+    is_first = (F.col("fetch_seq") == first_seq) & (
+        F.col("url") == first_url
+    )
+    return keyed.select(
+        "url",
+        "fetch_seq",
+        "digest",
+        F.when(is_first, F.lit("response"))
+        .otherwise(F.lit("revisit"))
+        .alias("record_type"),
+        F.when(is_first, F.lit(None).cast("string"))
+        .otherwise(first_url)
+        .alias("refers_to_url"),
+        F.when(is_first, F.lit(None).cast("bigint"))
+        .otherwise(first_seq)
+        .alias("refers_to_seq"),
+    )
