@@ -389,6 +389,39 @@ def main() -> None:
     extras["warc_ingest_pages"] = n_warc
     extras["warc_ingest_pages_per_sec"] = round(n_warc / dt, 1)
 
+    # -- CDX index build + pruned lookup (round 5 session 3): the write
+    # side of the ccindex — SURT keying, range-partitioned sorted CDXJ
+    # shards, cluster.idx secondary index. Build is timed once per pass
+    # (it writes ~n_pages lines); the lookup is the latency-sensitive
+    # path and gets the noise-guarded best-of.
+    from warcannon_spark.sources.cdx import (
+        cdx_prefix_lookup,
+        cdx_records,
+        write_cdx,
+    )
+
+    cdx_dir = "/tmp/wc_bench_cdx"
+
+    def cdx_build() -> str:
+        return write_cdx(
+            spark, cdx_records(bench_pages), cdx_dir, shards=64
+        )
+
+    cdx_build()  # warm (codegen + shuffle buffers)
+    dt, sp = _best_of(cdx_build, n=2)
+    timings["cdx_build"] = round(dt, 3)
+    query_spreads["cdx_build"] = round(sp, 3)
+    extras["cdx_build_pages_per_sec"] = round(n_pages / dt, 1)
+
+    def cdx_lookup() -> int:
+        return cdx_prefix_lookup(spark, cdx_dir, "example,h17)").count()
+
+    n_hits = cdx_lookup()  # warm
+    dt, sp = _best_of(cdx_lookup)
+    timings["cdx_prefix_lookup"] = round(dt, 3)
+    query_spreads["cdx_prefix_lookup"] = round(sp, 3)
+    extras["cdx_lookup_rows"] = n_hits
+
     # -- ANN recall telemetry (r4 verdict item 8): recall@5 of the two
     # approximate paths vs the brute-force oracle over the SAME query set
     # (vec_id % 53). Quality numbers ride the artifact next to the

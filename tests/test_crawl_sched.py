@@ -768,3 +768,29 @@ def test_registrable_domain_plan_is_pure_native(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pld_edges_collapses_and_drops_nepotism(spark):
+    from warcannon_spark.operators.graph import pld_edges
+
+    edges = spark.createDataFrame(
+        [
+            # two subdomains of one PLD → pooled src node
+            ("a.shop.example", "news.co.uk"),
+            ("b.shop.example", "news.co.uk"),
+            # intra-PLD (nepotistic) edge → dropped
+            ("a.shop.example", "b.shop.example"),
+            # unregistrable endpoint (bare suffix) → dropped
+            ("co.uk", "shop.example"),
+            ("x.news.co.uk", "shop.example"),
+        ],
+        "src string, dst string",
+    )
+    got = {
+        (r.src_pld, r.dst_pld): r.n_host_edges
+        for r in pld_edges(edges).collect()
+    }
+    assert got == {
+        ("shop.example", "news.co.uk"): 2,
+        ("news.co.uk", "shop.example"): 1,
+    }

@@ -202,3 +202,32 @@ def pagerank_oracle_sql(
 SELECT node, CAST(round(rank * 1000000) AS BIGINT) AS rank_e6
 FROM pr{iterations}"""
     )
+
+
+def pld_edges(edges: DataFrame) -> DataFrame:
+    """Collapse host-level link edges to REGISTRABLE-domain level and drop
+    intra-PLD edges — the standard de-nepotism preprocessing before
+    host-level ranking: a site linking between its own subdomains
+    (a.shop.example ↔ b.shop.example) must not vote for itself, and
+    sibling subdomains must pool into one graph node, or subdomain-happy
+    sites dominate the crawl-priority PageRank. Output is the weighted
+    collapsed edge list (src_pld, dst_pld, n_host_edges); feed
+    ``select("src_pld", "dst_pld")`` into :func:`pagerank` for PLD-level
+    ranks. One hash aggregation; registrable_domain is plan-compiled
+    native expressions (functions/urls), so the collapse adds no Python
+    and no extra exchange beyond the group-by."""
+    from ..functions.urls import registrable_domain
+
+    return (
+        edges.select(
+            registrable_domain(F.col("src")).alias("src_pld"),
+            registrable_domain(F.col("dst")).alias("dst_pld"),
+        )
+        .filter(
+            F.col("src_pld").isNotNull()
+            & F.col("dst_pld").isNotNull()
+            & (F.col("src_pld") != F.col("dst_pld"))
+        )
+        .groupBy("src_pld", "dst_pld")
+        .agg(F.count(F.lit(1)).alias("n_host_edges"))
+    )

@@ -3682,3 +3682,44 @@ def q_warc_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.warc import revisit_records
 
     return revisit_records(_refetch_df(spark, sf_dir))
+
+
+def _pld_graph_oracle() -> str:
+    from .functions.urls import registrable_domain_sql
+
+    return f"""WITH {_PSL_HOSTS_CTE.strip()},
+cnt AS (SELECT count(*) AS n FROM documents),
+host_edges AS (
+  SELECT a.host AS src, b.host AS dst
+  FROM psl_hosts a CROSS JOIN cnt
+  JOIN psl_hosts b ON b.doc_id = (a.doc_id * 7 + 3) % cnt.n
+),
+plds AS (
+  SELECT {registrable_domain_sql('src')} AS src_pld,
+         {registrable_domain_sql('dst')} AS dst_pld
+  FROM host_edges
+)
+SELECT src_pld, dst_pld, count(*) AS n_host_edges
+FROM plds
+WHERE src_pld IS NOT NULL AND dst_pld IS NOT NULL AND src_pld <> dst_pld
+GROUP BY src_pld, dst_pld"""
+
+
+@_q("pld_link_graph", _pld_graph_oracle())
+def q_pld_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """De-nepotismed link graph (operators/graph.pld_edges): host edges
+    collapsed to registrable-domain nodes with intra-PLD edges dropped,
+    so subdomain-happy sites can't vote for themselves in the
+    crawl-priority PageRank. Edge fixture: deterministic host pairs over
+    the PSL corpus (doc_id → doc_id*7+3 mod N); the broadcast self-join
+    is fixture plumbing, the operator under test is the collapse."""
+    from .operators.graph import pld_edges
+
+    hosts = _psl_hosts_df(spark, sf_dir)
+    n = hosts.count()
+    src = hosts.select(F.col("doc_id").alias("sid"), F.col("host").alias("src"))
+    dst = hosts.select(F.col("doc_id").alias("did"), F.col("host").alias("dst"))
+    edges = src.join(
+        F.broadcast(dst), (F.col("sid") * 7 + 3) % n == F.col("did")
+    ).select("src", "dst")
+    return pld_edges(edges)
