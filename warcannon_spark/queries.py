@@ -3419,7 +3419,7 @@ def q_url_alias_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the ccindex (S6 reads it; these build it; sources/cdx.py).
 
 
-def _cdx_oracle(where: str = "") -> str:
+def _cdx_oracle(where: str = "", inner_where: str = "") -> str:
     from .functions.urls import surt_key_sql
     from .sources.cdx import CDX_BASE_EPOCH
 
@@ -3432,7 +3432,7 @@ SELECT surt, ts14, url, digest, mime, status, length_bytes FROM (
          url, md5(text) AS digest, 'text/html' AS mime,
          CAST(200 AS INT) AS status,
          CAST(strlen(text) AS INT) AS length_bytes
-  FROM pages
+  FROM pages{inner_where}
 ){where}"""
 
 
@@ -3723,3 +3723,48 @@ def q_pld_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(dst), (F.col("sid") * 7 + 3) % n == F.col("did")
     ).select("src", "dst")
     return pld_edges(edges)
+
+
+@_q(
+    "streaming_cdx_records",
+    _cdx_oracle(inner_where=" WHERE fetch_seq % 5 = 0"),
+)
+def q_streaming_cdx_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE CDX index construction under the oracle gate
+    (streaming/pipeline.run_cdx_pipeline): page-row file drops drain
+    through the streaming derivation into per-micro-batch zipnum
+    segments (sorted shards + per-segment cluster.idx); the parsed-back
+    union of every segment must hash-match the batch SQL oracle over the
+    same corpus subset — i.e. the incremental index equals the
+    would-have-been batch index regardless of micro-batch splits."""
+    import os as _os
+
+    from .sources.cdx import CDX_VERSION, read_cdx
+    from .sources.pages import PAGES_VERSION
+    from .streaming.pipeline import run_cdx_pipeline
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    root = f"/tmp/wc_cdx_stream_q_v{PAGES_VERSION}.{CDX_VERSION}_{tag}"
+    src = f"{root}/src"
+    if not _os.path.exists(f"{root}/_SRC_DONE"):
+        subset = pages_df(spark, sf_dir).filter(F.col("fetch_seq") % 5 == 0)
+        (
+            subset.select(
+                "url",
+                F.timestamp_seconds(
+                    F.lit(1704067200) + F.col("fetch_seq")
+                ).alias("warc_ts"),
+                "text",
+                F.lit("en").alias("lang"),
+            )
+            .coalesce(4)
+            .write.mode("overwrite")
+            .json(src)
+        )
+        with open(f"{root}/_SRC_DONE", "w") as f:
+            f.write("ok")
+    run_cdx_pipeline(
+        spark, src, f"{root}/out", checkpoint_dir=f"{root}/ckpt",
+        available_now=True,
+    )
+    return read_cdx(spark, f"{root}/out/batch-*/cdx")

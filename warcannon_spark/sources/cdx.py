@@ -130,6 +130,21 @@ def write_cdx(
     return out_dir
 
 
+def read_cdx(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """Parse CDXJ text files back into record columns."""
+    lines = spark.read.text(paths)
+    parts = F.split(F.col("value"), " ", 3)
+    parsed = lines.select(
+        parts.getItem(0).alias("surt"),
+        parts.getItem(1).alias("ts14"),
+        F.from_json(parts.getItem(2), _JSON_SCHEMA).alias("j"),
+    )
+    return parsed.select(
+        "surt", "ts14", "j.url", "j.digest", "j.mime", "j.status",
+        "j.length_bytes",
+    )
+
+
 def cdx_prefix_lookup(
     spark: SparkSession, out_dir: str, prefix: str
 ) -> DataFrame:
@@ -152,17 +167,7 @@ def cdx_prefix_lookup(
     )
     if not files:
         return spark.createDataFrame([], empty_schema)
-    lines = spark.read.text(files)
-    parts = F.split(F.col("value"), " ", 3)
-    parsed = lines.select(
-        parts.getItem(0).alias("surt"),
-        parts.getItem(1).alias("ts14"),
-        F.from_json(parts.getItem(2), _JSON_SCHEMA).alias("j"),
-    )
-    return parsed.filter(F.col("surt").startswith(prefix)).select(
-        "surt", "ts14", "j.url", "j.digest", "j.mime", "j.status",
-        "j.length_bytes",
-    )
+    return read_cdx(spark, files).filter(F.col("surt").startswith(prefix))
 
 
 # Bump when the CDX derivation changes — cached fixtures key on it.

@@ -291,3 +291,52 @@ def change_tracker_final(spark: SparkSession, table) -> DataFrame:
         .where(F.col("__rk") == 1)
         .select("url", "n_obs", "n_changes")
     )
+
+
+def run_cdx_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    shards: int = 4,
+):
+    """Live CDX index construction — the streaming twin of the batch
+    write (sources/cdx.py): page-row file drops → native CDX record
+    derivation (surt/ts14/digest, stateless select) → per-micro-batch
+    sharded sorted CDXJ layout.
+
+    Each batch lands as its OWN zipnum segment
+    (``batch-000007/cdx/part-*`` + ``batch-000007/cluster.idx``) —
+    exactly the real incremental-index workflow, where every crawl
+    segment publishes a sorted index and a later compaction merges
+    segments. Replay-idempotent like the WET sink: write_cdx overwrites
+    the batch-id-scoped directory, so a re-delivered batch rewrites its
+    own files and nothing else. Readers glob ``batch-*/cdx``; lookups
+    consult each segment's cluster.idx (O(segments × shards) driver
+    rows)."""
+    import os
+
+    from ..sources.cdx import CDX_BASE_EPOCH, cdx_records, write_cdx
+
+    pages = read_pages_stream(spark, source_dir)
+    recs = cdx_records(
+        pages.withColumn(
+            "fetch_seq", F.unix_timestamp("warc_ts") - CDX_BASE_EPOCH
+        )
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_dir = os.path.join(out_dir, f"batch-{batch_id:06d}")
+        write_cdx(batch_df.sparkSession, batch_df, batch_dir, shards=shards)
+
+    writer = (
+        recs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
