@@ -136,3 +136,50 @@ def test_prefix_lookup_miss_is_empty_with_schema(cdx_dir, spark):
     assert out.columns == [
         "surt", "ts14", "url", "digest", "mime", "status", "length_bytes",
     ]
+
+
+def test_streaming_segments_compact_to_one_index(spark, sf_dir, tmp_path):
+    """Segment compaction: per-micro-batch zipnum segments merged into one
+    global layout equal (as a record set) to the union of segments, with
+    the batch layout's invariants (sortedness, non-overlap) restored."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from warcannon_spark.sources.cdx import read_cdx, write_cdx
+    from warcannon_spark.sources.pages import pages_df
+    from warcannon_spark.streaming.pipeline import run_cdx_pipeline
+
+    root = str(tmp_path)
+    subset = pages_df(spark, sf_dir).filter(F.col("fetch_seq") % 7 == 0)
+    (
+        subset.select(
+            "url",
+            F.timestamp_seconds(
+                F.lit(1704067200) + F.col("fetch_seq")
+            ).alias("warc_ts"),
+            "text",
+            F.lit("en").alias("lang"),
+        )
+        .coalesce(4)
+        .write.mode("overwrite")
+        .json(f"{root}/src")
+    )
+    run_cdx_pipeline(
+        spark, f"{root}/src", f"{root}/out", f"{root}/ckpt",
+        available_now=True, shards=2,
+    )
+    segs = read_cdx(spark, f"{root}/out/batch-*/cdx")
+    # compaction = read all segments, rewrite as one layout
+    write_cdx(spark, segs, f"{root}/compacted", shards=4)
+    merged = read_cdx(spark, f"{root}/compacted/cdx")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, segs.collect())
+    )
+    shards = _shard_lines(f"{root}/compacted")
+    for keys in shards.values():
+        assert keys == sorted(keys)
+    ranges = sorted((k[0], k[-1]) for k in shards.values())
+    for (_, prev_hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert prev_hi <= lo
+    assert os.path.exists(f"{root}/compacted/cluster.idx")
