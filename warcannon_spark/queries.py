@@ -3768,3 +3768,52 @@ def q_streaming_cdx_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         available_now=True,
     )
     return read_cdx(spark, f"{root}/out/batch-*/cdx")
+
+
+def _pld_pagerank_oracle() -> str:
+    from .functions.urls import registrable_domain_sql
+    from .operators.graph import pagerank_oracle_sql
+
+    edges_cte = f"""{_PSL_HOSTS_CTE.strip()},
+cnt AS (SELECT count(*) AS n FROM documents),
+raw_edges AS (
+  SELECT a.host AS src, b.host AS dst
+  FROM psl_hosts a CROSS JOIN cnt
+  JOIN psl_hosts b ON b.doc_id = (a.doc_id * 7 + 3) % cnt.n
+),
+plds AS (
+  SELECT {registrable_domain_sql('src')} AS src,
+         {registrable_domain_sql('dst')} AS dst
+  FROM raw_edges
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM plds
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+)"""
+    return pagerank_oracle_sql(edges_cte, iterations=10)
+
+
+@_q("pld_pagerank", _pld_pagerank_oracle())
+def q_pld_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLD-level crawl-priority ranking: PageRank (same 10-iteration
+    kernel + unrolled-CTE oracle as host_pagerank) over the
+    de-nepotismed registrable-domain graph — collapse (pld_edges) then
+    rank, so subdomain farms neither self-vote nor split their in-link
+    mass across subdomains. The rank feeds politeness_dequeue's
+    host_priority after a PLD→host fan-out join."""
+    from .operators.graph import pagerank, pld_edges
+
+    hosts = _psl_hosts_df(spark, sf_dir)
+    n = hosts.count()
+    src = hosts.select(F.col("doc_id").alias("sid"), F.col("host").alias("src"))
+    dst = hosts.select(F.col("doc_id").alias("did"), F.col("host").alias("dst"))
+    edges = src.join(
+        F.broadcast(dst), (F.col("sid") * 7 + 3) % n == F.col("did")
+    ).select("src", "dst")
+    ranks = pagerank(
+        pld_edges(edges), src_col="src_pld", dst_col="dst_pld", iterations=10
+    )
+    return ranks.select(
+        "node",
+        F.round(F.col("rank") * 1000000).cast("long").alias("rank_e6"),
+    )
