@@ -281,6 +281,39 @@ def main() -> None:
         )
     )
 
+    # CDX construction + pruned lookup (round 5 session 3)
+    from warcannon_spark.sources.cdx import (
+        cdx_fixture_dir,
+        cdx_prefix_lookup,
+        cdx_records,
+    )
+
+    cdxr = cdx_records(pages)
+    sections.append(
+        (
+            "cdx_records (SURT keying + digest, native)",
+            plan_of(cdxr),
+            [
+                "pure project over the scan — surt_key / ts14 / md5 all "
+                "inside whole-stage codegen, no exchange, no Python",
+            ],
+        )
+    )
+    cdx_dir = cdx_fixture_dir(spark, "/root/testdata/sf0.001", shards=16)
+    lk = cdx_prefix_lookup(spark, cdx_dir, "example,h17)")
+    n_files = len(set(lk.inputFiles()))
+    sections.append(
+        (
+            "cdx_prefix_lookup (cluster.idx shard pruning)",
+            plan_of(lk),
+            [
+                f"the text scan lists {n_files} shard file(s) of 16 — "
+                "cluster.idx pruned the rest before the plan was built; "
+                "parse + prefix filter are native expressions",
+            ],
+        )
+    )
+
     out = ["# BENCH/PLANS.md — physical-plan evidence\n"]
     for title, plan, claims in sections:
         out.append(f"## {title}\n")
