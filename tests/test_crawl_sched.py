@@ -794,3 +794,33 @@ def test_pld_edges_collapses_and_drops_nepotism(spark):
         ("shop.example", "news.co.uk"): 2,
         ("news.co.uk", "shop.example"): 1,
     }
+
+
+def test_dequeue_group_key_pools_subdomains(spark):
+    from warcannon_spark.functions.urls import registrable_domain
+    from warcannon_spark.plans import frontier as FR
+
+    # 6 urls across 3 subdomains of ONE registrable domain + 2 on another
+    urls = spark.createDataFrame(
+        [(f"https://s{i % 3}.h7.example/p/{i}",) for i in range(6)]
+        + [(f"https://x.other.example/p/{i}",) for i in range(2)],
+        "url string",
+    )
+    fr = FR.frontier_rows(urls, round_no=0)
+    batch = FR.politeness_dequeue(
+        fr,
+        round_no=1,
+        budget_per_host=2,
+        group_key=registrable_domain(F.col("host")),
+    )
+    rows = batch.collect()
+    by_pld: dict[str, int] = {}
+    for r in rows:
+        pld = ".".join(r["host"].split(".")[-2:])
+        by_pld[pld] = by_pld.get(pld, 0) + 1
+    # h7.example would get 6 under per-host budgets (2 × 3 subdomains);
+    # the PLD key pools them into one budget of 2
+    assert by_pld == {"h7.example": 2, "other.example": 2}
+    # map-side WindowGroupLimit survives the expression partition key
+    plan = plan_str(batch)
+    assert "WindowGroupLimit" in plan, plan

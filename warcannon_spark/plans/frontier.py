@@ -30,7 +30,7 @@ equal by tests.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.urls import canonical_url
@@ -106,9 +106,19 @@ def politeness_dequeue(
     host_priority: DataFrame | None = None,
     host_budgets: DataFrame | None = None,
     blocked_hosts: DataFrame | None = None,
+    group_key: Column | None = None,
 ) -> DataFrame:
     """Take ≤ budget_per_host URLs per host from the eligible set, under
     the deterministic total order (priority desc, url_hash) — W1/W2/W3.
+
+    ``group_key`` re-keys the politeness window off an expression over
+    the eligible rows — pass ``registrable_domain(F.col("host"))``
+    (functions/urls) to pool sibling subdomains into ONE budget (the
+    real-crawler grouping; a site cannot dodge the cap by sharding
+    itself across subdomains). Host-level inputs (blocked_hosts,
+    max_hosts, host_budgets) keep joining on ``host``; only the window
+    partitioning changes, and the map-side WindowGroupLimit rewrite
+    survives (the limit stays literal — plan-asserted in tests).
 
     ``host_budgets`` (host, budget) TIGHTENS the per-host cap below the
     default for listed hosts (robots Crawl-delay allowances — see
@@ -166,7 +176,9 @@ def politeness_dequeue(
             )
         top = hosts.orderBy(F.desc("__fp"), "host").limit(max_hosts).select("host")
         elig = elig.join(F.broadcast(top), "host", "left_semi")
-    w = Window.partitionBy("host").orderBy(F.desc("priority"), "url_hash")
+    w = Window.partitionBy(
+        group_key if group_key is not None else F.col("host")
+    ).orderBy(F.desc("priority"), "url_hash")
     out = elig.withColumn("host_rank", F.row_number().over(w)).filter(
         F.col("host_rank") <= budget_per_host
     )
