@@ -3817,3 +3817,49 @@ def q_pld_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         F.round(F.col("rank") * 1000000).cast("long").alias("rank_e6"),
     )
+
+
+@_q(
+    "cdx_seen_warmstart",
+    f"""WITH {PAGES_CTE}
+SELECT url FROM (
+  SELECT url FROM pages WHERE fetch_seq % 2 = 0
+  UNION ALL
+  SELECT 'https://' || host || '/new/' || CAST(fetch_seq AS VARCHAR) AS url
+  FROM pages WHERE fetch_seq % 5 = 0
+) c
+WHERE url NOT IN (SELECT url FROM pages)""",
+)
+def q_cdx_seen_warmstart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Campaign warm-start from an EXISTING archive index: the URL-seen
+    set is seeded from the written CDX layout (don't refetch what the
+    archive already holds — the ccindex-driven scoping the reference
+    does in Athena, here closed end-to-end against our own index), via
+    the J3 scale path: partitioned Bloom over the index URLs fast-paths
+    definite-new candidates, exact confirmation only for
+    maybe-positives. Oracle = the plain exact anti-join against the
+    same corpus; hash-green ⇒ index read-back ∘ bloom ∘ confirm is
+    indistinguishable from exact."""
+    from .plans.bloom import build_bloom, novel_urls
+    from .sources.cdx import cdx_fixture_dir, read_cdx
+
+    path = cdx_fixture_dir(spark, sf_dir, shards=16)
+    key = F.xxhash64("url")
+    known = read_cdx(spark, f"{path}/cdx").select(
+        "url", key.alias("url_hash")
+    )
+    pages = pages_df(spark, sf_dir)
+    new = pages.filter(F.col("fetch_seq") % 5 == 0).select(
+        F.concat(
+            F.lit("https://"), F.col("host"), F.lit("/new/"),
+            F.col("fetch_seq").cast("string"),
+        ).alias("url")
+    )
+    cands = (
+        pages.filter(F.col("fetch_seq") % 2 == 0)
+        .select("url")
+        .unionByName(new)
+        .select("url", key.alias("url_hash"))
+    )
+    bloom = build_bloom(known, num_partitions=8)
+    return novel_urls(cands, known, bloom).select("url")
