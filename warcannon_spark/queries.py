@@ -3863,3 +3863,31 @@ def q_cdx_seen_warmstart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bloom = build_bloom(known, num_partitions=8)
     return novel_urls(cands, known, bloom).select("url")
+
+
+@_q(
+    "cdx_ranged_refetch",
+    f"""WITH {PAGES_CTE}
+SELECT url, md5(text) AS text_md5 FROM pages
+WHERE fetch_seq % 10 = 0 AND host = 'h0.example'""",
+)
+def q_cdx_ranged_refetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full archive round trip, every leg through the engine's own
+    machinery: scope a campaign by SURT prefix through the WRITTEN index
+    (cdx_prefix_lookup — cluster.idx prunes shard files), resolve the
+    hits to byte spans via the record index (warc_record_index, the
+    ccindex offset/length analog), then fetch EXACTLY those gzip members
+    (read_warc_records_ranged — I/O is O(selected), never O(archive)).
+    Hash-green against the source derivation ⇒ index → offsets → ranged
+    fetch → decode is byte-identical end-to-end (C15 through the
+    composed path)."""
+    from .sources.cdx import cdx_fixture_dir, cdx_prefix_lookup
+    from .sources.warc import read_warc_records_ranged, warc_fixture_dir, warc_record_index
+
+    cdx_dir = cdx_fixture_dir(spark, sf_dir, shards=16)
+    hits = cdx_prefix_lookup(spark, cdx_dir, "example,h0)").select("url")
+    warc_dir = warc_fixture_dir(spark, sf_dir, mod=10)
+    idx = warc_record_index(spark, warc_dir)
+    scoped = idx.join(F.broadcast(hits), "url", "left_semi")
+    pages = read_warc_records_ranged(scoped)
+    return pages.select("url", F.md5(F.col("text")).alias("text_md5"))
