@@ -334,6 +334,12 @@ def main() -> None:
         "recrawl_politeness_plan",
         "host_backoff_plan",
         "url_alias_map",
+        "registrable_domain",
+        "pld_politeness_topk",
+        "pld_link_graph",
+        "warc_revisit_dedup",
+        "cdx_seen_warmstart",
+        "cdx_ranged_refetch",
         # streaming_recrawl_changes is NOT benched here: its first call
         # pays the one-time streaming drain and later calls read the
         # cached table — _best_of's spread guard would see the cliff as
