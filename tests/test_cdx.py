@@ -24,6 +24,9 @@ SURT_CASES = [
     ("http://www.example.com:8080/a?b&&c=1", "com,example:8080)/a?b&c=1"),
     ("not-a-url", "not-a-url"),  # opaque passthrough
     ("ftp://files.example:21/pub", "example,files:21)/pub"),
+    # userinfo is skipped, never taken as the host
+    ("http://user@h.example/a", "example,h)/a"),
+    ("https://u:p@h.example:8443/b", "example,h:8443)/b"),
 ]
 
 

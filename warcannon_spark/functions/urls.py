@@ -165,8 +165,11 @@ def normalize_url_sql(expr: str) -> str:
 # All expressions live in the Java∩RE2∩DuckDB regex subset.
 
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
-_SURT_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#@]+)"
-_SURT_PORT_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#@]+:([0-9]+)"
+# optional userinfo ('user:pass@') is skipped, not taken as the host
+_SURT_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]+)"
+_SURT_PORT_RE = (
+    "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/:?#@]+:([0-9]+)"
+)
 _AUTHORITY_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
 
 
