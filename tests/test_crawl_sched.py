@@ -728,6 +728,7 @@ PSL_CASES = [
     ("single", None),                           # default '*' rule, bare TLD
     ("a.single", "a.single"),
     ("WWW.Example.COM", "example.com"),         # case-insensitive
+    ("example.com.", "example.com"),            # DNS-root trailing dot
 ]
 
 

@@ -280,8 +280,11 @@ def _psl_compiled() -> list[tuple[list[str], int, bool]]:
 
 
 def registrable_domain(host: Column) -> Column:
-    """Registrable domain of a hostname — pure native expressions."""
-    labels = F.split(F.lower(host), "\\.")
+    """Registrable domain of a hostname — pure native expressions.
+
+    A single trailing dot (the DNS-root form ``example.com.``) is
+    stripped before matching, per the PSL algorithm's normalization."""
+    labels = F.split(F.regexp_replace(F.lower(host), "\\.$", ""), "\\.")
     n = F.size(labels)
 
     def rule_cond(rlabels: list[str]) -> Column:
@@ -317,7 +320,7 @@ def registrable_domain(host: Column) -> Column:
 def registrable_domain_sql(expr: str) -> str:
     """DuckDB twin of :func:`registrable_domain`, generated from the same
     PSL_RULES constant (list_extract is 1-based and NULL out-of-bounds)."""
-    labels = f"str_split(lower({expr}), '.')"
+    labels = f"str_split(regexp_replace(lower({expr}), '\\.$', ''), '.')"
     n = f"len({labels})"
 
     def rule_cond(rlabels: list[str]) -> str:
