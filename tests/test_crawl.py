@@ -589,3 +589,36 @@ def test_progress_document_shape_matches_reference(spark, tmp_path):
         },
     }
     eng.close()
+
+
+def test_engine_politeness_by_pld_pools_subdomains(spark, tmp_path):
+    """politeness_by_pld=True: the dequeue window keys on
+    registrable_domain(host), so sibling subdomains (a.hX.example,
+    b.hX.example) share ONE budget per round instead of one each."""
+    rows = [
+        (f"https://{sub}.h5.example/p/{i}", f"leaf {sub} {i}")
+        for sub in ("a", "b", "c")
+        for i in range(4)
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path),
+        pages=pages,
+        budget_per_host=2,
+        num_partitions=4,
+        discover_links=False,
+        politeness_by_pld=True,
+    )
+    try:
+        eng.seed(pages.select("url"))
+        eng.run_round()
+        fetched = [
+            r.canon_url
+            for r in eng.frontier().filter("status = 'done'").collect()
+        ]
+        # one PLD (h5.example) → exactly budget_per_host urls fetched in
+        # round 1, though 3 subdomains × budget 2 would allow 6 per-host
+        assert len(fetched) == 2
+    finally:
+        eng.close()

@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 
 # LINK_RE is shared with the PageRank priority path so the scheduler
 # signal and the crawler extract the same link set by construction.
+from ..functions.urls import registrable_domain
 from ..operators.graph import LINK_HREF_RE as LINK_RE
 from ..operators.matcher import (
     anchor_prefilter,
@@ -139,6 +140,7 @@ class CrawlEngine:
         max_hosts_per_round: int | None = None,
         host_priority: DataFrame | None = None,
         round_seconds: float | None = None,
+        politeness_by_pld: bool = False,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -180,6 +182,9 @@ class CrawlEngine:
         self.host_priority = (
             host_priority.persist() if host_priority is not None else None
         )
+        # pool sibling subdomains into one politeness budget
+        # (functions/urls.registrable_domain as the dequeue window key)
+        self.politeness_by_pld = politeness_by_pld
         self.P = num_partitions
         self.max_attempts = max_attempts
         self.use_bloom = use_bloom
@@ -571,6 +576,11 @@ class CrawlEngine:
                 max_hosts=self.max_hosts_per_round,
                 host_priority=self.host_priority,
                 host_budgets=self._host_budgets,
+                group_key=(
+                    registrable_domain(F.col("host"))
+                    if self.politeness_by_pld
+                    else None
+                ),
             )
             if obs_metrics:
                 batch = batch.observe(
