@@ -165,3 +165,36 @@ def test_html_extract_randomized_vs_python_reference(spark):
     }
     for i, html in docs:
         assert got[i] == ref_extract(html), (i, html, got[i], ref_extract(html))
+
+
+def test_main_content_drops_boilerplate_keeps_prose(spark):
+    from warcannon_spark.operators.html import extract_main_content
+
+    prose = "This paragraph is long enough to be kept as main content."
+    nav = (
+        '<a href="/a">Home</a> <a href="/b">Products and services</a>'
+        ' <a href="/c">About the whole company</a>'
+    )
+    html = (
+        "<html><body>"
+        "<h1>Hi</h1>"                       # short heading → dropped
+        f"<p>{prose}</p>"                   # prose → kept
+        f"<div>{nav}</div>"                 # link farm → dropped (density)
+        f"<p>Read {prose} More <a href=\"/x\">tiny</a></p>"  # low density → kept
+        "</body></html>"
+    )
+    df = spark.createDataFrame([("u", html)], "url string, html string")
+    out = extract_main_content(df).collect()[0]
+    assert prose in out.main_text
+    assert "Products" not in out.main_text
+    assert "Hi" not in out.main_text
+    assert out.n_kept == 2
+    # pure projection: no exchange, no Python in the plan
+    plan = (
+        extract_main_content(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

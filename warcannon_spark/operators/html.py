@@ -351,3 +351,117 @@ def extract_page_meta_sql(keep_sql: str, from_sql: str) -> str:
        contains({robots}, 'noindex') AS noindex,
        contains({robots}, 'nofollow') AS nofollow
 {from_sql}"""
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate removal (round 5, session 3) — block-level link-density
+# scoring, the jusText/Arc90 family of heuristics re-expressed as pure
+# list-native expressions: split the cleaned markup into blocks at
+# block-level tag boundaries, score each block's text length and link
+# density, keep prose blocks, and rejoin in document order. NO explode,
+# NO shuffle — transform/filter/array_join run inside whole-stage codegen
+# with the scan partitioning, and the DuckDB twin is generated from the
+# SAME constants (list_transform/list_filter).
+#
+# Classification rule (exact-integer, so both twins agree bytewise):
+#   keep a block iff  text_chars >= MIN_BLOCK_CHARS
+#                 and 5 * link_chars <= text_chars   (link density <= 20%)
+
+BLOCK_SPLIT_RE = (
+    "(?i)</?(?:p|h[1-6]|div|section|article|li|td|ul|ol|table|"
+    "blockquote|body)[^>]*>"
+)
+ANCHOR_TEXT_RE = "(?is)<a\\b[^>]*>(.*?)</a[ \\t\\r\\n]*>"
+MIN_BLOCK_CHARS = 25
+
+
+def extract_main_content(
+    pages: DataFrame, html_col: str = "html", keep: tuple[str, ...] = ("url",)
+) -> DataFrame:
+    """(keep…, main_text, n_blocks, n_kept) — boilerplate-stripped main
+    content. Navigation link farms, short headings, and footer link rows
+    fail the length/link-density gate; prose survives."""
+    html = F.col(html_col)
+    pre = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(html, COMMENT_RE, " "), SCRIPT_RE, " "
+            ),
+            STYLE_RE,
+            " ",
+        ),
+        TITLE_RE,
+        " ",
+    )
+    blocks = F.split(pre, BLOCK_SPLIT_RE)
+
+    def score(b: Column) -> Column:
+        txt = _clean(_decode_entities(F.regexp_replace(b, TAG_RE, " ")))
+        link_raw = F.array_join(
+            F.regexp_extract_all(b, F.lit(ANCHOR_TEXT_RE), F.lit(1)), " "
+        )
+        link_txt = _clean(
+            _decode_entities(F.regexp_replace(link_raw, TAG_RE, " "))
+        )
+        return F.struct(
+            txt.alias("txt"),
+            F.length(txt).alias("tl"),
+            F.length(link_txt).alias("ll"),
+        )
+
+    scored = F.transform(blocks, score)
+    kept = F.filter(
+        scored,
+        lambda s: (s["tl"] >= MIN_BLOCK_CHARS) & (s["ll"] * 5 <= s["tl"]),
+    )
+    main = F.array_join(F.transform(kept, lambda s: s["txt"]), " ")
+    return pages.select(
+        *keep,
+        main.alias("main_text"),
+        F.size(scored).cast("int").alias("n_blocks"),
+        F.size(kept).cast("int").alias("n_kept"),
+    )
+
+
+def extract_main_content_sql(keep_sql: str, from_sql: str) -> str:
+    """DuckDB twin of :func:`extract_main_content` (same constants;
+    regexp_replace carries the explicit 'g' flag)."""
+
+    def decode(e: str) -> str:
+        for src, dst in ENTITIES:
+            dst_sql = dst.replace("'", "''")
+            e = f"replace({e}, '{src}', '{dst_sql}')"
+        return e
+
+    def clean(e: str) -> str:
+        return f"trim(regexp_replace({e}, '{WS_RE}', ' ', 'g'))"
+
+    pre = f"regexp_replace(html, '{COMMENT_RE}', ' ', 'g')"
+    pre = f"regexp_replace({pre}, '{SCRIPT_RE}', ' ', 'g')"
+    pre = f"regexp_replace({pre}, '{STYLE_RE}', ' ', 'g')"
+    pre = f"regexp_replace({pre}, '{TITLE_RE}', ' ', 'g')"
+    blocks = f"regexp_split_to_array({pre}, '{BLOCK_SPLIT_RE}')"
+    txt = clean(decode("regexp_replace(b, '" + TAG_RE + "', ' ', 'g')"))
+    link_raw = (
+        f"array_to_string(regexp_extract_all(b, '{ANCHOR_TEXT_RE}', 1), ' ')"
+    )
+    link_txt = clean(
+        decode(f"regexp_replace({link_raw}, '{TAG_RE}', ' ', 'g')")
+    )
+    # DuckDB's regexp_extract_all yields NULL (not an empty list) for a
+    # block with no anchors — coalesce keeps ll an exact integer so the
+    # density gate never goes three-valued.
+    scored = (
+        f"list_transform({blocks}, b -> struct_pack("
+        f"txt := {txt}, tl := length({txt}),"
+        f" ll := coalesce(length({link_txt}), 0)))"
+    )
+    kept = (
+        f"list_filter({scored}, s -> s.tl >= {MIN_BLOCK_CHARS}"
+        f" AND s.ll * 5 <= s.tl)"
+    )
+    return f"""SELECT {keep_sql},
+  array_to_string(list_transform({kept}, s -> s.txt), ' ') AS main_text,
+  CAST(len({scored}) AS INT) AS n_blocks,
+  CAST(len({kept}) AS INT) AS n_kept
+{from_sql}"""

@@ -3891,3 +3891,26 @@ def q_cdx_ranged_refetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoped = idx.join(F.broadcast(hits), "url", "left_semi")
     pages = read_warc_records_ranged(scoped)
     return pages.select("url", F.md5(F.col("text")).alias("text_md5"))
+
+
+def _main_content_oracle() -> str:
+    from .operators.html import extract_main_content_sql
+    from .sources.htmlpages import HTML_PAGES_CTE
+
+    return f"""WITH {HTML_PAGES_CTE.strip()}
+{extract_main_content_sql("url", "FROM html_pages")}"""
+
+
+@_q("main_content_extract", _main_content_oracle())
+def q_main_content_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (operators/html.extract_main_content): the
+    jusText/Arc90 link-density family as list-native expressions —
+    block split at block-tag boundaries, exact-integer length +
+    link-density gate (keep iff chars ≥ 25 and 5·link_chars ≤ chars),
+    document-order rejoin. Nav link rows and short headings drop; prose
+    paragraphs survive. No explode, no shuffle; DuckDB twin generated
+    from the same constants."""
+    from .operators.html import extract_main_content
+    from .sources.htmlpages import html_pages_df
+
+    return extract_main_content(html_pages_df(spark, sf_dir), keep=("url",))
