@@ -340,6 +340,7 @@ def main() -> None:
         "warc_revisit_dedup",
         "cdx_seen_warmstart",
         "cdx_ranged_refetch",
+        "main_content_extract",
         # streaming_recrawl_changes is NOT benched here: its first call
         # pays the one-time streaming drain and later calls read the
         # cached table — _best_of's spread guard would see the cliff as
