@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Round-6 optimization harness (guide §1): per-query isolation timing +
+plan capture, SEPARATE from the frozen driver bench (bench.py).
+
+Usage:
+  python bench_extra.py q1 q2 ...            # time the named queries
+  python bench_extra.py --all                # the full bench.py query list
+  python bench_extra.py --plans plans/r06 --suffix before q1 q2
+                                             # also dump explain("formatted")
+  python bench_extra.py --noop q1            # time with noop sink instead of count
+
+Timing methodology matches bench.py (warm pass + best-of-N .count()) so
+numbers are comparable with BENCH_r05.json; --noop adds the guide §1.4
+isolation (computes every column, no count-prune).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERY_LIST = [
+    "match_rollup", "index_rollup_hosts", "frontier_new_urls",
+    "politeness_topk", "robots_gate", "tpch_pricing_summary",
+    "top_customers", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash_pairs", "dedup_embedding_cosine", "lang_id",
+    "token_counts", "char_lm_score", "quality_classifier",
+    "html_text_extract", "html_outlink_hosts", "wet_quality_corpus",
+    "wet_export_roundtrip", "warc_ranged_fetch", "dsir_weights",
+    "train_quality_classifier", "span_dedup", "pii_scrub",
+    "dedup_ngram_jaccard", "url_blocklist_filter", "corpus_mixture",
+    "mixture_epoch_sample", "global_shuffle", "ann_cosine_topk",
+    "sitemap_ingest", "redirect_resolution", "recrawl_schedule",
+    "anchor_text_profiles", "url_normalize", "mirror_host_detection",
+    "crawl_trap_profile", "page_metadata", "canonical_resolution",
+    "sitemap_delta", "recrawl_politeness_plan", "host_backoff_plan",
+    "url_alias_map", "registrable_domain", "pld_politeness_topk",
+    "pld_link_graph", "warc_revisit_dedup", "cdx_seen_warmstart",
+    "cdx_ranged_refetch", "main_content_extract", "event_sessions",
+    "order_priority_counts", "decontaminate", "stratified_sample",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="*")
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--plans", default=None, help="dir to write explain output")
+    ap.add_argument("--suffix", default="before")
+    ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--noop", action="store_true")
+    ap.add_argument("--no-time", action="store_true", help="plans only")
+    args = ap.parse_args()
+
+    from warcannon_spark.queries import QUERIES
+    from warcannon_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="warcannon-bench-extra",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS * 2, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = BENCH_QUERY_LIST if args.all else args.queries
+    specials = {}
+
+    def _minhash_default(spark, sf_dir):
+        from warcannon_spark.operators.dedup import minhash_lsh_pairs
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return minhash_lsh_pairs(docs)
+
+    specials["dedup_minhash_default"] = _minhash_default
+
+    out: dict[str, float] = {}
+    for name in names:
+        fn = specials.get(name) or QUERIES.get(name)
+        if fn is None:
+            print(f"## unknown query: {name}", file=sys.stderr)
+            continue
+        spark.sparkContext.setJobDescription(f"bench_extra:{name}")
+        if args.plans:
+            os.makedirs(args.plans, exist_ok=True)
+            df = fn(spark, SF_DIR)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            path = os.path.join(args.plans, f"{name}_{args.suffix}.txt")
+            with open(path, "w") as f:
+                f.write(plan)
+            print(f"## plan -> {path}", file=sys.stderr)
+        if args.no_time:
+            continue
+
+        if args.noop:
+            def run():
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        else:
+            def run():
+                fn(spark, SF_DIR).count()
+
+        run()  # warm
+        times = []
+        for _ in range(args.passes):
+            t0 = time.time()
+            run()
+            times.append(time.time() - t0)
+        out[name] = round(min(times), 3)
+        print(f"{name}: best={min(times):.3f} all={[round(t,3) for t in times]}",
+              file=sys.stderr)
+        spark.sparkContext.setJobDescription(None)
+
+    print(json.dumps({"sf": SF_DIR, "cpus": CPUS, "noop": args.noop,
+                      "queries": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -283,38 +283,54 @@ def registrable_domain(host: Column) -> Column:
     """Registrable domain of a hostname — pure native expressions.
 
     A single trailing dot (the DNS-root form ``example.com.``) is
-    stripped before matching, per the PSL algorithm's normalization."""
-    labels = F.split(F.regexp_replace(F.lower(host), "\\.$", ""), "\\.")
-    n = F.size(labels)
+    stripped before matching, per the PSL algorithm's normalization.
 
-    def rule_cond(rlabels: list[str]) -> Column:
-        # right-aligned label equality; '*' positions are unconstrained.
-        m = len(rlabels)
-        cond = n >= m
-        for j in range(m):  # j = distance from the right
-            lab = rlabels[m - 1 - j]
-            if lab != "*":
-                # F.get is 0-based and returns NULL out-of-bounds (never
-                # throws under ANSI); NULL comparisons collapse to false
-                # through the conjunction.
-                cond = cond & (F.get(labels, n - 1 - j) == lab)
-        return cond
+    The label array is LET-BOUND through a single-element ``transform``
+    lambda (r6 optimization): the rule conditions reference the array
+    ~40× and its length ~30×, and as plain expressions every reference
+    re-embedded (and, inside filter pushdown copies, re-evaluated) the
+    full ``split(regexp_replace(lower(host)))`` subtree — the
+    pld_link_graph physical plan was 253 KB of repeated expression text
+    before this change. Bound once, each reference is a cheap lambda-
+    variable lookup and the whole compiled rule set is a small tree;
+    output is bit-identical (same expression DAG, same NULL
+    propagation — pinned by the PSL tests and the DuckDB twin)."""
 
-    ps_len = F.greatest(
-        F.lit(1),
-        *[
-            F.when(rule_cond(rl), F.lit(m)).otherwise(F.lit(0))
-            for rl, m, is_exc in _psl_compiled()
-            if not is_exc
-        ],
-    )
-    for rl, m, is_exc in _psl_compiled():
-        if is_exc:
-            ps_len = F.when(rule_cond(rl), F.lit(m - 1)).otherwise(ps_len)
-    return F.when(
-        n > ps_len,
-        F.array_join(F.slice(labels, n - ps_len, ps_len + F.lit(1)), "."),
-    ).otherwise(F.lit(None).cast("string"))
+    def _rd(labels: Column) -> Column:
+        n = F.size(labels)
+
+        def rule_cond(rlabels: list[str]) -> Column:
+            # right-aligned label equality; '*' positions are
+            # unconstrained.
+            m = len(rlabels)
+            cond = n >= m
+            for j in range(m):  # j = distance from the right
+                lab = rlabels[m - 1 - j]
+                if lab != "*":
+                    # F.get is 0-based and returns NULL out-of-bounds
+                    # (never throws under ANSI); NULL comparisons
+                    # collapse to false through the conjunction.
+                    cond = cond & (F.get(labels, n - 1 - j) == lab)
+            return cond
+
+        ps_len = F.greatest(
+            F.lit(1),
+            *[
+                F.when(rule_cond(rl), F.lit(m)).otherwise(F.lit(0))
+                for rl, m, is_exc in _psl_compiled()
+                if not is_exc
+            ],
+        )
+        for rl, m, is_exc in _psl_compiled():
+            if is_exc:
+                ps_len = F.when(rule_cond(rl), F.lit(m - 1)).otherwise(ps_len)
+        return F.when(
+            n > ps_len,
+            F.array_join(F.slice(labels, n - ps_len, ps_len + F.lit(1)), "."),
+        ).otherwise(F.lit(None).cast("string"))
+
+    labels0 = F.split(F.regexp_replace(F.lower(host), "\\.$", ""), "\\.")
+    return F.get(F.transform(F.array(labels0), _rd), 0)
 
 
 def registrable_domain_sql(expr: str) -> str:

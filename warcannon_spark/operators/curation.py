@@ -60,15 +60,30 @@ def word_ngrams(
     (call .distinct() for the set). Pure native expressions: split →
     sequence → transform/slice → explode; documents shorter than ``n``
     contribute no rows (guarded — Spark's ``sequence`` would otherwise
-    count DOWN for negative spans)."""
+    count DOWN for negative spans).
+
+    The split array is LET-BOUND through a single-element ``transform``
+    lambda (r6 optimization, guide §1/§2.3 measure-first finding):
+    expressions from the enclosing scope referenced inside a
+    higher-order-function lambda are RE-EVALUATED on every lambda
+    invocation, so the old form re-ran ``split(text)`` once per n-gram
+    position (~50× per document; 3.7× slower end-to-end on the shingle
+    bench). Binding the array to a lambda variable evaluates the split
+    once per row; output is bit-identical (pinned by tests)."""
     w = F.split(F.col(text_col), " ")
-    grams = F.when(
-        F.size(w) >= n,
+    grams = F.get(
         F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            F.array(w),
+            lambda ws: F.when(
+                F.size(ws) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+        0,
+    )
     return docs.select(F.col(id_col), F.explode(grams).alias("gram"))
 
 
