@@ -454,6 +454,13 @@ def train_linear_classifier(
 
     spark = docs.sparkSession
     feats = _feature_array(text_col, bigrams=True, bias=True)
+    # r6: hash-repartition the bucketed feature stream by doc id BEFORE
+    # the (id, y, bucket) group-by — hash(id) satisfies the clustered
+    # distribution of that aggregation AND of every downstream per-doc
+    # aggregation/join (epoch scores, misclassified join, final scoring),
+    # so after this one exchange the per-epoch jobs run exchange-free
+    # except the dim-bounded delta aggregate (guide §2.4). Same rows,
+    # different partitioning; integer sums are association-free.
     gx = (
         docs.select(
             F.col(id_col),
@@ -467,11 +474,29 @@ def train_linear_classifier(
                 "bucket"
             ),
         )
+        .repartition(id_col)
         .groupBy(id_col, "__y", "bucket")
         .agg(F.count(F.lit(1)).alias("__c"))
         .persist()
     )
     _LIVE_CACHES.append(gx)
+
+    def _wdf(weights: dict[int, int]) -> DataFrame:
+        # VALUES relation, not createDataFrame: parallelizing local
+        # Python rows routes through a Python worker (pickle + convert);
+        # a VALUES literal stays JVM-side (measured 2x faster per epoch
+        # table — same device as the crawl metrics write, plans/crawl.py).
+        if weights:
+            vals = ",".join(
+                f"({b}L,{v}L)" for b, v in sorted(weights.items())
+            )
+            return spark.sql(
+                f"SELECT * FROM VALUES {vals} AS t(bucket, w)"
+            )
+        return spark.sql(
+            "SELECT CAST(NULL AS BIGINT) bucket, CAST(NULL AS BIGINT) w"
+            " WHERE 1=0"
+        )
 
     n_docs = docs.count()
     w: dict[int, int] = {}
@@ -487,11 +512,10 @@ def train_linear_classifier(
                 .collect()
             ]
         else:
-            wdf = spark.createDataFrame(
-                [(b, v) for b, v in sorted(w.items())], "bucket long, w long"
-            )
+            from pyspark.sql import Observation
+
             scores = (
-                gx.join(F.broadcast(wdf), "bucket", "left")
+                gx.join(F.broadcast(_wdf(w)), "bucket", "left")
                 .groupBy(id_col, "__y")
                 .agg(
                     F.sum(
@@ -499,33 +523,34 @@ def train_linear_classifier(
                     ).alias("s")
                 )
             )
-            mis = scores.where(F.col("__y") * F.col("s") <= 0).select(id_col)
-            # ONE action per epoch: rollup's grand-total row carries |M|
-            # (countDistinct over the misclassified join) alongside the
-            # per-bucket deltas — no separate mis.count() job.
+            # ONE action per epoch: |M| rides the misclassified frame as
+            # an Observation (one row per doc pre-join — an exact count),
+            # so the delta aggregate is a plain dim-bounded groupBy
+            # instead of the rollup+countDistinct Expand that doubled
+            # every joined row (r6; the epoch job is now broadcast-build
+            # + in-place per-doc agg + one bucket-keyed exchange).
+            m_obs = Observation()
+            mis = (
+                scores.where(F.col("__y") * F.col("s") <= 0)
+                .select(id_col)
+                .observe(m_obs, F.count(F.lit(1)).alias("m"))
+            )
             rows = (
                 gx.join(mis, id_col)
-                .rollup("bucket")
-                .agg(
-                    F.sum(F.col("__y") * F.col("__c")).alias("d"),
-                    F.countDistinct(id_col).alias("n"),
-                )
+                .groupBy("bucket")
+                .agg(F.sum(F.col("__y") * F.col("__c")).alias("d"))
                 .collect()
             )
             if not rows:  # empty join: converged, every doc correct
                 break
-            m = next(int(r.n) for r in rows if r.bucket is None)
-            delta = [
-                (int(r.bucket), int(r.d)) for r in rows if r.bucket is not None
-            ]
+            m = int(m_obs.get["m"])
+            delta = [(int(r.bucket), int(r.d)) for r in rows]
         for bucket, d in delta:  # <= dim rows by construction
             step = d // m if d >= 0 else -((-d) // m)  # trunc toward 0
             if step:
                 w[bucket] = w.get(bucket, 0) + step
 
-    wdf = spark.createDataFrame(
-        [(b, v) for b, v in sorted(w.items())], "bucket long, w long"
-    )
+    wdf = _wdf(w)
     scored = (
         gx.join(F.broadcast(wdf), "bucket", "left")
         .groupBy(id_col, "__y")

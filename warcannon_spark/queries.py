@@ -3242,7 +3242,11 @@ def q_sitemap_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         sitemaps_df,
     )
 
-    new = sitemap_entries(sitemaps_df(spark, sf_dir))
+    # the parsed entries fan into three branches (old's two slices + the
+    # delta's new side) — materialize once (r6; host-count × URLs rows)
+    new = sitemap_entries(sitemaps_df(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
     d = F.regexp_extract("loc", r"/p/(\d+)$", 1).cast("long")
     old = (
         new.where(d % 17 != 0)

@@ -88,7 +88,17 @@ def write_cdx(
     split points give balanced shards even under host skew (the mega-host
     splits across shards at a ts14 boundary; ranges stay non-overlapping,
     which is all the lookup needs).
+
+    The records frame is eagerly localCheckpointed first (r6): the range
+    partitioner's sampling job otherwise re-evaluates the whole record
+    projection — a second surt_key + payload-md5 pass over the corpus —
+    before the real exchange runs it again (measured 3.2 s → 2.4 s at
+    800k pages). The checkpoint holds only the narrow CDX columns
+    (~150 B/row, no page text), the §8-style lightweight proxy; at
+    archive scale it is disk-backed executor storage sized O(rows), far
+    cheaper than the duplicate digest pass it replaces.
     """
+    records = records.localCheckpoint(eager=True)
     line = F.concat_ws(
         " ",
         F.col("surt"),

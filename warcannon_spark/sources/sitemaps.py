@@ -137,7 +137,12 @@ def sitemaps_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "sitemap_url string, host string, xml string",
     )
-    return urlsets.unionByName(index)
+    # Eagerly materialized (r6): every consumer (sitemap_entries, the
+    # delta queries) fans the corpus into 3+ plan branches, and without
+    # a barrier each branch re-ran the ordered-concat aggregation that
+    # builds the XML (sitemap_ingest 1.16 s → 0.68 s at sf0.1). One row
+    # per sitemap document — #hosts-bounded state, safe at scale.
+    return urlsets.unionByName(index).localCheckpoint(eager=True)
 
 
 def _parse_urlsets(leaves: DataFrame) -> DataFrame:
