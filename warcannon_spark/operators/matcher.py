@@ -47,10 +47,21 @@ def anchor_prefilter(text: Column) -> Column:
     """JVM-side containment prefilter: every possible match CONTAINS one
     of the literal ANCHORS (matches.py — same invariant the windowed scan
     rests on), so `contains(a0) OR contains(a1) OR ...` has zero false
-    negatives. This is the single most important plan property at scale:
-    pages with no anchor never cross the Arrow boundary into Python —
-    the scan stays whole-stage-codegen'd and the UDF sees only candidate
-    pages (typically well under 1% of a real crawl corpus)."""
+    negatives.
+
+    r6 measurement note (guide §1 — measure first): this gate is NO
+    LONGER on the hot path. 21 separate JVM substring scans cost ~1.6 s/GB
+    of page text per core-32, while shipping the text through Arrow and
+    running the ONE-pass fused-RE2 containment mask inside the kernel
+    (pyarrow.compute, C++) costs ~0.9 s/GB *including* the exact Python
+    scan of true candidates — the "gate in the JVM" plan shape lost to
+    "mask in the kernel" by ~2× at every candidate density (both costs
+    are linear in corpus bytes; the per-byte constant is what decides,
+    and 21 naive UTF8String scans are the slowest constant in the whole
+    matcher). match_hits and the crawl round now cross every page and
+    rely on the kernel's RE2 mask; this function is kept for callers
+    that want a cheap native gate over a column that is NOT about to
+    cross into Python anyway."""
     cond = text.contains(ANCHORS[0])
     for a in ANCHORS[1:]:
         cond = cond | text.contains(a)
@@ -178,9 +189,10 @@ def match_hits(
     if DOMAINS:
         df = df.filter(domain_of(F.col(url_col)).isin(DOMAINS))
 
-    # Anchor containment gate — keeps non-candidate pages out of the
-    # Arrow/Python path entirely (see anchor_prefilter docstring).
-    df = df.filter(anchor_prefilter(F.col(text_col)))
+    # No JVM anchor gate here (r6): the kernel's one-pass fused-RE2
+    # containment mask (C++ over whole Arrow batches) IS the prefilter,
+    # and it is ~2× cheaper per corpus byte than 21 separate JVM
+    # contains() scans — see anchor_prefilter's measurement note.
 
     return hits_from_match_lists(
         df.withColumn("__ms", extract_matches(F.col(text_col))),

@@ -58,7 +58,6 @@ from pyspark.sql import functions as F
 from ..functions.urls import registrable_domain
 from ..operators.graph import LINK_HREF_RE as LINK_RE
 from ..operators.matcher import (
-    anchor_prefilter,
     extract_matches,
     hits_from_match_lists,
 )
@@ -339,7 +338,11 @@ class CrawlEngine:
         return self._windowed_frontier()
 
     def _commit_delta(
-        self, delta: DataFrame | None, rnd: int, data_dir: str | None = None
+        self,
+        delta: DataFrame | None,
+        rnd: int,
+        data_dir: str | None = None,
+        delta_rows: int | None = None,
     ) -> None:
         """Append the round's touched rows; this snapshot IS the ack.
         ``data_dir``: an already-materialized delta dir (write_data) —
@@ -386,11 +389,19 @@ class CrawlEngine:
             # folds self.frontier(), which must already include this delta.
             committed = self.t_flog.read_last_dir(self.spark)
             active = F.col("status").isin(*self._ACTIVE)
+            # r6: the anti-join's build side is the BOUNDED delta — under
+            # the broadcast ceiling, broadcast it explicitly so the
+            # cached active set is probed in place instead of both sides
+            # shuffling on url_hash (the advance was the hidden cost of
+            # the next round's dequeue, which materializes this frame).
+            # Above the ceiling the planner's shuffle regime stands, the
+            # same two-regime switch as fetch_join.
+            touched = committed.select("url_hash")
+            if delta_rows is not None and delta_rows <= self.broadcast_ceiling_rows:
+                touched = F.broadcast(touched)
             # (string-key joins move the key column first — restore schema order)
             hot = (
-                prev_hot.join(
-                    committed.select("url_hash"), "url_hash", "left_anti"
-                )
+                prev_hot.join(touched, "url_hash", "left_anti")
                 .unionByName(committed.filter(active))
                 .select(*prev_hot.columns)
                 # union appends the delta's partitions to prev's — coalesce
@@ -642,21 +653,17 @@ class CrawlEngine:
                 if self.discover_links
                 else F.array().cast("array<string>")
             )
-            # the matcher UDF's INPUT is gated by the JVM anchor
-            # prefilter: non-candidate pages ship an empty string across
-            # the Arrow boundary instead of their whole text (the
-            # UDF-under-when trap — Catalyst evaluates extracted Python
-            # UDFs unconditionally, so gating the ARGUMENT, not the
-            # call, is what actually cuts the transfer). The anchor
-            # invariant (every match contains a literal anchor) makes
-            # this lossless; link extraction stays JVM-side over the
-            # full text.
-            gated_text = F.when(
-                anchor_prefilter(F.col("text")), F.col("text")
-            ).otherwise(F.lit(""))
+            # r6: the fetched text crosses the Arrow boundary UNGATED —
+            # the matcher kernel's one-pass fused-RE2 containment mask
+            # (C++ over whole batches) is the prefilter. The previous
+            # JVM anchor gate (21 contains() scans deciding whether to
+            # ship "" instead of the text) cost ~2x more per corpus
+            # byte than the crossing it saved — see
+            # operators/matcher.anchor_prefilter's measurement note.
+            # Link extraction stays JVM-side over the full text.
             enriched = got.select(
                 *batch.columns,
-                extract_matches(gated_text).alias("__ms"),
+                extract_matches(F.col("text")).alias("__ms"),
                 link_col.alias("__links"),
             )
             en_obs = Observation()
@@ -943,10 +950,17 @@ class CrawlEngine:
             # log-append commit == ack (LAST, after all derived tables
             # landed; a crash before this point replays the round
             # idempotently — the orphan data dirs are unreferenced).
-            self._commit_delta(None, rnd, data_dir=delta_dir)
+            # the delta write above already materialized the observed
+            # union, so the novel count is available BEFORE the commit —
+            # it sizes the advance's broadcast regime (delta rows =
+            # touched batch + discoveries).
             if novel_obs is not None:
                 discovered = int(novel_obs.get["n"])
                 self._last_novel = discovered
+            self._commit_delta(
+                None, rnd, data_dir=delta_dir,
+                delta_rows=dequeued + discovered,
+            )
             _mark("commit")
             # extend the maintained Bloom with the round's new keys
             # (superset-safe even if a later crash discards the commit —
