@@ -546,7 +546,27 @@ def ngram_jaccard_pairs(
     jaccard_ppm is exact integer arithmetic (``div``) so the DuckDB
     oracle matches bit-for-bit.
     """
-    g = shingles(docs, n, text_col=text_col, id_col=id_col)
+    # r6 plan restructure (guide §2.4): ONE shingle-keyed exchange serves
+    # the dedup group-by, the document-frequency aggregate, the df join
+    # AND the inverted-index self-join — hash(shingle) satisfies every
+    # one of their distributions, so after the explicit repartition none
+    # of them pays its own exchange. The deduped index is eagerly
+    # localCheckpointed at its fan-out (df-counts + join probe + pair
+    # join would otherwise re-run the explode three times); it is the
+    # inverted index itself — O(corpus tokens) narrow rows, disk-backed
+    # executor state, cheaper than three recomputes of the n-gram
+    # explode. Measured 3.3 s → ~1.3 s at sf0.1.
+    from .curation import word_ngrams
+
+    g = (
+        word_ngrams(docs, n, id_col=id_col, text_col=text_col)
+        .select(F.col(id_col).alias("doc_id"), F.col("gram").alias("shingle"))
+        .repartition("shingle")
+        .groupBy("shingle", "doc_id")
+        .agg(F.lit(1))
+        .select("doc_id", "shingle")
+        .localCheckpoint(eager=True)
+    )
     dfreq = g.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     capped = g.join(dfreq, "shingle").filter(F.col("df") <= df_cap)
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))

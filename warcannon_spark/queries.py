@@ -3295,7 +3295,11 @@ def q_recrawl_politeness_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .plans.robots import crawl_delay_budgets
 
-    due = recrawl_due_topk(recrawl_schedule(fetch_history_df(spark, sf_dir)))
+    # due fans out (the plan itself + the per-host robots derivation) —
+    # materialize the top-k once (r6; k×hosts rows)
+    due = recrawl_due_topk(
+        recrawl_schedule(fetch_history_df(spark, sf_dir))
+    ).localCheckpoint(eager=True)
     hid = F.regexp_extract("host", r"h(\d+)", 1).cast("int")
     robots = due.select("host").distinct().select(
         "host",
@@ -3849,8 +3853,12 @@ def q_cdx_seen_warmstart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = cdx_fixture_dir(spark, sf_dir, shards=16)
     key = F.xxhash64("url")
-    known = read_cdx(spark, f"{path}/cdx").select(
-        "url", key.alias("url_hash")
+    # known is consumed twice (Bloom build + exact confirm side) — parse
+    # the CDXJ lines once (r6)
+    known = (
+        read_cdx(spark, f"{path}/cdx")
+        .select("url", key.alias("url_hash"))
+        .localCheckpoint(eager=True)
     )
     pages = pages_df(spark, sf_dir)
     new = pages.filter(F.col("fetch_seq") % 5 == 0).select(
