@@ -89,16 +89,16 @@ def write_cdx(
     splits across shards at a ts14 boundary; ranges stay non-overlapping,
     which is all the lookup needs).
 
-    The records frame is eagerly localCheckpointed first (r6): the range
+    The records frame is persisted across the write (r6): the range
     partitioner's sampling job otherwise re-evaluates the whole record
     projection — a second surt_key + payload-md5 pass over the corpus —
     before the real exchange runs it again (measured 3.2 s → 2.4 s at
-    800k pages). The checkpoint holds only the narrow CDX columns
-    (~150 B/row, no page text), the §8-style lightweight proxy; at
-    archive scale it is disk-backed executor storage sized O(rows), far
-    cheaper than the duplicate digest pass it replaces.
+    800k pages). The cache holds only the narrow CDX columns
+    (~150 B/row, no page text), the §8-style lightweight proxy; it is
+    released deterministically after the shard write (persist/unpersist,
+    not localCheckpoint, so repeated builds cannot accumulate blocks).
     """
-    records = records.localCheckpoint(eager=True)
+    records = records.persist()
     line = F.concat_ws(
         " ",
         F.col("surt"),
@@ -114,6 +114,7 @@ def write_cdx(
         .write.mode("overwrite")
         .text(os.path.join(out_dir, "cdx"))
     )
+    records.unpersist()
     lines = spark.read.text(os.path.join(out_dir, "cdx"))
     parts = F.split(F.col("value"), " ", 3)
     parsed = lines.select(
