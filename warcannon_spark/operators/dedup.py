@@ -168,9 +168,18 @@ def minhash_lsh_pairs(
         .select("doc_id", "shingle")
         .persist()
     )
-    with_h = sh.withColumn("h", _perm_hashes(F.col("shingle"), num_perm))
+    # Direct per-seed affine aggregates on the projected base hash (r6):
+    # min((a_k·h + b_k) % P) per seed, no intermediate num_perm-wide
+    # array. The array form was fragile — whenever the optimizer inlined
+    # the array projection into the 128 element_at aggregates (any plan
+    # without a cache/exchange barrier under it), every row paid the
+    # full 128-element array construction once PER aggregate (measured
+    # 17 s vs 2.5 s at sf0.1 for the bare lineage). The direct form is
+    # the same arithmetic with no array to inline.
+    with_h = sh.withColumn("hb", perm_hash_base(F.col("shingle")))
     aggs = [
-        F.min(F.element_at("h", k + 1)).alias(f"s{k}") for k in range(num_perm)
+        F.min((F.lit(a) * F.col("hb") + F.lit(b)) % PERM_PRIME).alias(f"s{k}")
+        for k, (a, b) in enumerate(perm_coeffs(num_perm))
     ]
     g = (
         with_h.groupBy("doc_id")
