@@ -158,7 +158,9 @@ class CrawlEngine:
         self.pages = pages.select("url", "text")
         self._cache_corpus = cache_corpus
         if cache_corpus:
-            self.pages = self.pages.persist()
+            lvl = self._corpus_cache_level()
+            if lvl is not None:
+                self.pages = self.pages.persist(lvl)
         self.robots = robots
         # robots rules parsed ONCE per engine (executor-side) and cached
         # across rounds — round 1 re-collected + re-broadcast them every
@@ -235,6 +237,51 @@ class CrawlEngine:
         # (replaces a per-round candidate count() action; novel ⊆
         # candidates, so it under-gates by at most one round).
         self._last_novel = 0
+
+    def _corpus_cache_level(self):
+        """Storage level for the fetch-sim corpus cache — or None to
+        skip caching — chosen from the corpus' estimated size vs the
+        JVM heap (r6, guide §5). The unconditional persist OOM-killed
+        the 12 GiB local heap at sf1.0 (8M pages; columnar cache
+        construction allocates tens-of-MB humongous batch buffers
+        across 32 concurrent tasks — the sf1 dress rehearsal this round
+        ran and r5 did not; DISK_ONLY builds the same transient batches
+        and still died). Oversized corpora therefore run UNCACHED —
+        the cold re-scan path, which the same rehearsal completed fine,
+        and which is also the honest production shape (the real
+        pipeline reads only the leased WARC ranges; cache_corpus is a
+        sim-only knob). est is the SOURCE size (compressed parquet
+        bytes — the unrolled form runs ~6-10× larger), hence the small
+        heap fraction. In local mode the driver heap IS all executor
+        memory, so Runtime maxMemory is the right bound; a cluster
+        deployment can pin the behavior via
+        spark.warcannon.corpusCacheLevel.
+        """
+        from pyspark.storagelevel import StorageLevel
+
+        forced = self.spark.conf.get("spark.warcannon.corpusCacheLevel", "")
+        if forced:
+            return None if forced == "NONE" else getattr(StorageLevel, forced)
+        try:
+            est = int(
+                self.pages._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+            heap = int(
+                self.spark.sparkContext._jvm.Runtime.getRuntime().maxMemory()
+            )
+        except Exception:
+            return StorageLevel.MEMORY_AND_DISK
+        if est >= 1 << 60:
+            # stats unavailable (LogicalRDD / createDataFrame corpora
+            # report Long.MaxValue) — keep the default; the sizing guard
+            # targets file-backed corpora, whose scans report real bytes
+            return StorageLevel.MEMORY_AND_DISK
+        if est > heap // 16:
+            return None
+        return StorageLevel.MEMORY_AND_DISK
 
     # -- state --------------------------------------------------------------
     @property
@@ -561,7 +608,9 @@ class CrawlEngine:
             # re-establish per-engine caches lazily (first round, or first
             # round after close())
             if self._cache_corpus and not self.pages.is_cached:
-                self.pages = self.pages.persist()
+                lvl = self._corpus_cache_level()
+                if lvl is not None:
+                    self.pages = self.pages.persist(lvl)
             if (
                 self._host_budgets is None
                 and self.robots is not None
