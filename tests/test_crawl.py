@@ -622,3 +622,45 @@ def test_engine_politeness_by_pld_pools_subdomains(spark, tmp_path):
         assert len(fetched) == 2
     finally:
         eng.close()
+
+
+def test_corpus_cache_level_adapts_to_corpus_size(spark, tmp_path):
+    """r6 memory-envelope guard (sf1 rehearsal OOM): the fetch-sim cache
+    decision follows the corpus' file-backed size estimate vs the JVM
+    heap — oversized corpora run UNCACHED (the cold re-scan path), small
+    or size-unknown corpora keep the MEMORY_AND_DISK default, and the
+    spark.warcannon.corpusCacheLevel conf overrides everything."""
+    from pyspark.storagelevel import StorageLevel
+
+    # createDataFrame corpora report unknown stats (Long.MaxValue) →
+    # default caching, so an engine over in-memory fixtures still caches
+    eng = make_engine(spark, tmp_path / "a", cache_corpus=True)
+    assert eng._corpus_cache_level() == StorageLevel.MEMORY_AND_DISK
+    assert eng.pages.is_cached
+    eng.close()
+
+    # file-backed corpus far over heap/16 → cache skipped entirely
+    big = tmp_path / "big.parquet"
+    corpus(spark).write.parquet(str(big))
+    pages_fb = spark.read.parquet(str(big))
+    eng2 = CrawlEngine(
+        spark, str(tmp_path / "b"), pages=pages_fb,
+        budget_per_host=4, num_partitions=4,
+    )
+    heap = int(spark.sparkContext._jvm.Runtime.getRuntime().maxMemory())
+    est = int(
+        eng2.pages._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    assert 0 < est < 1 << 60  # a real file-backed estimate
+    level = eng2._corpus_cache_level()
+    assert level == (None if est > heap // 16 else StorageLevel.MEMORY_AND_DISK)
+
+    # explicit conf pin wins (including the cache-off sentinel)
+    spark.conf.set("spark.warcannon.corpusCacheLevel", "DISK_ONLY")
+    try:
+        assert eng2._corpus_cache_level() == StorageLevel.DISK_ONLY
+        spark.conf.set("spark.warcannon.corpusCacheLevel", "NONE")
+        assert eng2._corpus_cache_level() is None
+    finally:
+        spark.conf.unset("spark.warcannon.corpusCacheLevel")
+    eng2.close()
