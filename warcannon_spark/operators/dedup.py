@@ -461,69 +461,75 @@ def span_dedup(
 
     Output: (doc_id, clean_text, n_spans, n_removed).
 
-    Scale shape: one exchange keyed by span text for the global
-    first-occurrence choice — a ``min(struct(doc, pos))`` aggregate, so
-    it PARTIAL-AGGREGATES map-side and a hyper-common span ("Thank
-    you.") folds to one row per map partition before the shuffle (no
-    skew blowup) — then one doc-keyed exchange to rebuild. The
-    survivors join is span-keyed and reuses the dedup exchange's
-    partitioning; nothing ever collects to the driver."""
+    Scale shape (r6 restructure, guide §8 — decide with small rows, move
+    the text once): the global first-occurrence choice is still a
+    ``min(struct(doc, pos))`` aggregate keyed by span TEXT (partial-
+    aggregated map-side, so a hyper-common span folds to one row per map
+    partition before the shuffle — no skew blowup, and zero hash-
+    collision surface), but everything after the choice moves only
+    LIGHTWEIGHT rows: the loser join emits bare ``(doc, pos)`` removal
+    rows, those fold into one positions-array row per affected doc, and
+    documents are rebuilt NATIVELY from their original text —
+    ``array_except(sequence(1, n), removed)`` (hash-set membership,
+    O(n) per doc) gathered through ``element_at`` — instead of the
+    pre-r6 shape's doc-keyed exchange that carried every surviving span
+    through a collect_list + array_sort. Net: the span-keyed exchange
+    is shared by the winner aggregate and the loser join (one explicit
+    ``repartition`` — guide §2.4), the rebuild exchange carries
+    positions instead of text, and the full text crosses the network
+    once (the doc-keyed rebuild join; AQE broadcast-switches it when
+    the removal map is small). Nothing ever collects to the driver.
+    Equivalence with the pre-r6 shape is pinned bit-for-bit by the
+    DuckDB oracle (queries.span_dedup) and the behavior tests."""
     # Spark split() takes a REGEX — quote the separator so '. ' means a
     # literal dot-space (DuckDB's string_split twin is literal); -1
     # keeps trailing empty spans so reassembly is byte-faithful.
     import re as _re
 
+    spl = F.split(F.col(text_col), _re.escape(sep), -1)
     spans = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
-            "pos", "span"
-        ),
+        F.posexplode(spl).alias("pos", "span"),
     ).withColumn("pos", F.col("pos") + 1)  # 1-based, oracle parity
     eligible = F.size(F.split(F.col("span"), " ", -1)) >= min_words
-    tagged = spans.withColumn("__elig", eligible)
-    winners = (
-        tagged.filter("__elig")
-        .groupBy("span")
-        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"))
-        .select(
-            "span",
-            F.col(f"__first.{id_col}").alias("__w_doc"),
-            F.col("__first.pos").alias("__w_pos"),
-        )
+    # ONE span-keyed exchange for choose-winner + find-losers: hash(span)
+    # satisfies both the aggregate's and the join's distribution.
+    elig_occ = (
+        spans.filter(eligible)
+        .select(id_col, "pos", "span")
+        .repartition("span")
     )
-    survivors = (
-        tagged.join(winners, "span", "left")
-        .withColumn(
-            "__keep",
-            (~F.col("__elig"))
-            | ((F.col(id_col) == F.col("__w_doc")) & (F.col("pos") == F.col("__w_pos"))),
-        )
+    winners = elig_occ.groupBy("span").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first")
     )
-    return (
-        survivors.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.when(F.col("__keep"), 0).otherwise(1)).alias("n_removed"),
-            F.concat_ws(
-                sep,
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("__keep"), F.struct("pos", "span")
-                            )
-                        )
-                    ),
-                    lambda s: s["span"],
-                ),
-            ).alias("clean_text"),
+    removed = (
+        elig_occ.join(winners, "span")
+        .filter(
+            (F.col(id_col) != F.col(f"__first.{id_col}"))
+            | (F.col("pos") != F.col("__first.pos"))
         )
-        .select(
-            id_col,
-            "clean_text",
-            F.col("n_spans").cast("long").alias("n_spans"),
-            F.col("n_removed").cast("long").alias("n_removed"),
-        )
+        .select(id_col, "pos")
+    )
+    # one positions-array row per doc that lost at least one span —
+    # bounded by document length, tiny next to the text
+    rm = removed.groupBy(id_col).agg(F.collect_set("pos").alias("__rm"))
+    # rebuild from the ORIGINAL text: the left join preserves doc
+    # cardinality (rm is unique per doc by construction), so a
+    # count-only consumer lets Catalyst eliminate the join outright.
+    # NULL-text docs emit no row, same as the pre-r6 posexplode shape.
+    rebuilt = docs.filter(F.col(text_col).isNotNull()).join(
+        rm, id_col, "left"
+    )
+    keep_pos = F.array_except(
+        F.sequence(F.lit(1), F.size(spl)),
+        F.coalesce(F.col("__rm"), F.array().cast("array<int>")),
+    )
+    keep_arr = F.transform(keep_pos, lambda p: F.element_at(spl, p))
+    return rebuilt.select(
+        id_col,
+        F.concat_ws(sep, keep_arr).alias("clean_text"),
+        F.size(spl).cast("long").alias("n_spans"),
+        F.coalesce(F.size("__rm"), F.lit(0)).cast("long").alias("n_removed"),
     )
 
 
