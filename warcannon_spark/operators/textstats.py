@@ -388,15 +388,39 @@ def linear_score_cols(
     for composed single-plan pipelines (e.g. queries.wet_quality_corpus)
     that fuse extraction + scoring without a join."""
     feats = _feature_array(text_col, bigrams, bias)
+    return F.size(feats).cast("long"), linear_score_of_feats(feats, dim, seed)
+
+
+def linear_score_of_feats(
+    feats: Column, dim: int = 4096, seed: str = "qc-v1"
+) -> Column:
+    """Score an already-built feature ARRAY (same arithmetic as
+    :func:`linear_score_cols`). Taking the array as a Column lets a
+    caller bind it to a HOF lambda variable — the r6 CSE device for
+    composed pipelines where the token split would otherwise re-run
+    per consuming expression (queries.wet_quality_corpus)."""
 
     def w_of(x):
         b = h64(F.concat(F.lit(f"{seed}|b|"), x)) % dim
         return h64(F.concat(F.lit(f"{seed}|w|"), b.cast("string"))) % 2001 - 1000
 
-    score = F.aggregate(
+    return F.aggregate(
         feats, F.lit(0).cast("long"), lambda acc, x: acc + w_of(x)
     )
-    return F.size(feats).cast("long"), score
+
+
+def feature_array_of_tokens(toks: Column) -> Column:
+    """Unigram+bigram feature array from an already-split token ARRAY —
+    the token-level twin of :func:`_feature_array` (no bias feature),
+    for callers that let-bind the split (same expressions, so the
+    DuckDB twins are unchanged)."""
+    n = F.size(toks)
+    bi = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit("_"), b),
+    )
+    return F.concat(toks, bi)
 
 
 def lang_pred_col(s_en, s_es, s_de):

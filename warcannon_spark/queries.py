@@ -2383,17 +2383,35 @@ def q_wet_quality_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured 2.8 s vs 0.5 s at sf0.1/local[32]). Entangling the gates
     inside one nondeterministic CASE WHEN (mid() >= 0 is always true)
     makes the predicate unsplittable and unpushable past the exchange,
-    so gating runs on the balanced 32-way side. The extraction is still
-    evaluated ~twice (once in the substituted filter, once in the
-    output projection) — accepted: it is embarrassingly parallel CPU,
-    and the alternative (materializing the WET layer) is what the WET
-    sink is for in a real pipeline."""
+    so gating runs on the balanced 32-way side.
+
+    r6 CSE restructure (guide §1/§4 — the F1 let-binding device): the
+    pre-r6 plan re-derived the 12-regex extraction ~8× and the token
+    split ~10× per row (6 extraction copies alias-substituted into the
+    filter, 2 more in the projections). Now EVERY output rides one
+    let-bound struct: text is bound once, its token split once, and the
+    struct carries (pred_lang, score, n_chars, n_tokens). The
+    NONDETERMINISTIC-WRAPPED bundle projection is what stops the
+    substitution (PushPredicateThroughNonJoin pushes a filter through a
+    Project regardless of the predicate's own determinism — it is
+    order-preserving — so guarding the gate alone did not); with the
+    bundle guarded, a plain deterministic gate evaluates on the
+    computed attribute and extraction + classifier run exactly once per
+    row, on the balanced side. Output bit-identical (same expression
+    DAG per field; oracle re-checked). Honest measurement: the plan
+    shrinks 9.1 KB → 5.5 KB (1 extraction copy instead of 8) but the
+    interleaved A/B improves only ~7% (0.533 → 0.494 s best-of-5 at
+    sf0.1/local[32]) — codegen subexpression elimination was already
+    deduplicating the identical copies WITHIN each operator; the
+    residual win is the cross-operator (filter vs project) copy plus
+    plan size/compile cost."""
     from .operators.html import html_extract
     from .operators.textstats import (
         LANG_MARKERS,
         _marker_count,
+        feature_array_of_tokens,
         lang_pred_col,
-        linear_score_cols,
+        linear_score_of_feats,
     )
     from .sources.htmlpages import html_pages_df
 
@@ -2401,23 +2419,50 @@ def q_wet_quality_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     wet = html_extract(pages, keep=("url",))
-    toks = F.split(F.col("text"), " ")
-    s = {k: _marker_count(toks, m) for k, m in LANG_MARKERS.items()}
-    _, score = linear_score_cols()
-    out = wet.select(
+
+    def _outputs(t):  # t = let-bound extracted text
+        return F.get(
+            F.transform(
+                F.array(F.split(t, " ")),
+                lambda tk: F.struct(
+                    lang_pred_col(
+                        _marker_count(tk, LANG_MARKERS["en"]),
+                        _marker_count(tk, LANG_MARKERS["es"]),
+                        _marker_count(tk, LANG_MARKERS["de"]),
+                    ).alias("pred_lang"),
+                    linear_score_of_feats(
+                        feature_array_of_tokens(tk)
+                    ).alias("score"),
+                    F.length(t).cast("long").alias("n_chars"),
+                    F.size(tk).cast("long").alias("n_tokens"),
+                ),
+            ),
+            0,
+        )
+
+    bundle = F.get(F.transform(F.array(F.col("text")), _outputs), 0)
+    # the mid() >= 0 wrapper (always true) makes the PROJECTION ITEM
+    # nondeterministic: PushPredicateThroughNonJoin may push a filter
+    # through a Project regardless of the predicate's own determinism
+    # (it is order-preserving), so guarding the gate alone does not
+    # stop the substitution — guarding the bundle does, and then a
+    # plain deterministic gate evaluates on the computed attribute.
+    bundled = wet.select(
         "url",
-        lang_pred_col(s["en"], s["es"], s["de"]).alias("pred_lang"),
-        score.alias("score"),
-        F.col("n_chars"),
-        F.size(toks).cast("long").alias("n_tokens"),
+        F.when(F.monotonically_increasing_id() >= 0, bundle).alias("__b"),
     )
-    gate = F.when(
-        F.monotonically_increasing_id() >= 0,
-        (F.col("score") >= 0)
-        & (F.col("n_chars") >= 200)
-        & (F.col("n_tokens") >= 20),
-    ).otherwise(F.lit(False))
-    return out.where(gate)
+    gate = (
+        (F.col("__b.score") >= 0)
+        & (F.col("__b.n_chars") >= 200)
+        & (F.col("__b.n_tokens") >= 20)
+    )
+    return bundled.where(gate).select(
+        "url",
+        F.col("__b.pred_lang").alias("pred_lang"),
+        F.col("__b.score").alias("score"),
+        F.col("__b.n_chars").alias("n_chars"),
+        F.col("__b.n_tokens").alias("n_tokens"),
+    )
 
 
 def _wet_roundtrip_oracle() -> str:
