@@ -619,16 +619,19 @@ class CrawlEngine:
                 self._host_budgets = crawl_delay_budgets(
                     self.robots, self._round_seconds, self.budget
                 ).persist()
-            # per-(round, partition) metrics ride the two materializing
-            # actions as Observations (CollectMetrics) instead of a
-            # dedicated union-aggregate job — the round-4 profile showed
-            # that job costing ~1-2 s of pure stage overhead for ≤ P
-            # rows. P conditional-sum expressions per counter are cheap
-            # JVM-side aggregates; above 256 partitions the expression
-            # fan-out stops being free and the aggregate-job path below
-            # takes over.
-            obs_metrics = self.P <= 256
-            dq_obs = Observation()
+            # per-(round, partition) metrics are a union-aggregate job
+            # over the round's SLIM caches (batch + enriched), scheduled
+            # inside the overlapped table-writes stage. r6.2 measurement
+            # (guide §1 — measure again after the shape changed): the
+            # r4-era Observation path (2P conditional sums riding the two
+            # materializing actions) costs ~1.3 s/round at P=64 —
+            # CollectMetrics evaluates its aggregates with INTERPRETED
+            # projections per row, so 128 sum(when) over a 148k-row
+            # batch is not free — while the aggregate job over the now-
+            # slim persisted frames costs ~0.22 s and overlaps the flog
+            # write. The r4 profile that motivated the Observations
+            # predated the slim frame (it re-scanned text-bearing
+            # caches); with the caches narrow, the dedicated job wins.
             batch = FR.politeness_dequeue(
                 hot,
                 round_no=rnd,
@@ -641,18 +644,7 @@ class CrawlEngine:
                     if self.politeness_by_pld
                     else None
                 ),
-            )
-            if obs_metrics:
-                batch = batch.observe(
-                    dq_obs,
-                    *[
-                        F.sum(
-                            F.when(F.col("partition_id") == i, 1).otherwise(0)
-                        ).alias(f"p{i}")
-                        for i in range(self.P)
-                    ],
-                )
-            batch = batch.persist()
+            ).persist()
             persisted.append(batch)
             # materializes the persisted batch once; also the regime switch
             # input for fetch_join's broadcast ceiling. Scanning hot here
@@ -714,22 +706,7 @@ class CrawlEngine:
                 *batch.columns,
                 extract_matches(F.col("text")).alias("__ms"),
                 link_col.alias("__links"),
-            )
-            en_obs = Observation()
-            if obs_metrics:
-                per_part = []
-                for i in range(self.P):
-                    mine = F.col("partition_id") == i
-                    per_part.append(
-                        F.sum(F.when(mine, 1).otherwise(0)).alias(f"ps{i}")
-                    )
-                    per_part.append(
-                        F.sum(
-                            F.when(mine, F.size("__ms")).otherwise(0)
-                        ).alias(f"mt{i}")
-                    )
-                enriched = enriched.observe(en_obs, *per_part)
-            enriched = enriched.persist()
+            ).persist()
             persisted.append(enriched)
             # ONE materializing action for the round's heavy compute
             # (fetch join + fused matcher + link extraction); every
@@ -856,74 +833,45 @@ class CrawlEngine:
                     new_rows.observe(novel_obs, F.count(F.lit(1)).alias("n"))
                 )
 
-            # metrics: per-(round, partition) lineage (north_rule).
-            # Preferred path: the counters were OBSERVED on the two
-            # materializing actions above — fold them into ≤ P local
-            # rows, zero extra distributed jobs (the write below is a
-            # local-rows parallelize). Fallback (P > 256): one
-            # union-aggregate job over the caches.
-            if obs_metrics:
-                dqm, enm = dq_obs.get, en_obs.get
-                dur = int((time.time() - t0) * 1000)
-                stat_rows = []
-                for i in range(self.P):
-                    dq = int(dqm[f"p{i}"] or 0)
-                    ps = int(enm[f"ps{i}"] or 0)
-                    mt = int(enm[f"mt{i}"] or 0)
-                    if dq or ps or mt:  # parity with the aggregate path:
-                        # partitions with no activity have no row
-                        stat_rows.append((rnd, i, dq, ps, mt, dur))
-                # VALUES SQL, not createDataFrame: parallelizing local
-                # Python rows routes the write task through a Python
-                # worker (unpickle + convert), and under the concurrent
-                # UDF jobs the worker pool is saturated — a 64-row write
-                # measured 5+ s. A VALUES relation stays entirely JVM-side.
-                if stat_rows:
-                    vals = ",".join(
-                        f"({r}L,{i},{dq}L,{ps}L,{mt}L,{du}L)"
-                        for r, i, dq, ps, mt, du in stat_rows
-                    )
-                else:
-                    vals = "(0L,0,0L,0L,0L,0L)"
-                stats = self.spark.sql(
-                    f"SELECT * FROM VALUES {vals} AS t(round, partition_id,"
-                    " dequeued, pages_scanned, matches_total, duration_ms)"
-                    + ("" if stat_rows else " WHERE 1=0")
+            # metrics: per-(round, partition) lineage (north_rule) — one
+            # union-aggregate job over the round's SLIM caches, scheduled
+            # inside the overlapped write stage below (it shares cores
+            # with the flog write instead of serializing the dequeue and
+            # fetch_match actions). See the dequeue-side comment for the
+            # r6.2 measurement that retired the Observation path.
+            stats = (
+                batch.select(
+                    "partition_id",
+                    F.lit(1).alias("dq"),
+                    F.lit(0).alias("ps"),
+                    F.lit(0).cast("int").alias("mt"),
                 )
-            else:
-                stats = (
-                    batch.select(
+                .coalesce(8)
+                .unionByName(
+                    enriched.select(
                         "partition_id",
-                        F.lit(1).alias("dq"),
-                        F.lit(0).alias("ps"),
-                        F.lit(0).cast("int").alias("mt"),
-                    )
-                    .coalesce(8)
-                    .unionByName(
-                        enriched.select(
-                            "partition_id",
-                            F.lit(0).alias("dq"),
-                            F.lit(1).alias("ps"),
-                            F.size("__ms").alias("mt"),
-                        ).coalesce(8)
-                    )
-                    .groupBy("partition_id")
-                    .agg(
-                        F.sum("dq").alias("dequeued"),
-                        F.sum("ps").alias("pages_scanned"),
-                        F.sum("mt").alias("matches_total"),
-                    )
-                    .select(
-                        F.lit(rnd).cast("bigint").alias("round"),
-                        "partition_id",
-                        "dequeued",
-                        "pages_scanned",
-                        "matches_total",
-                        F.lit(int((time.time() - t0) * 1000))
-                        .cast("bigint")
-                        .alias("duration_ms"),
-                    )
+                        F.lit(0).alias("dq"),
+                        F.lit(1).alias("ps"),
+                        F.size("__ms").alias("mt"),
+                    ).coalesce(8)
                 )
+                .groupBy("partition_id")
+                .agg(
+                    F.sum("dq").alias("dequeued"),
+                    F.sum("ps").alias("pages_scanned"),
+                    F.sum("mt").alias("matches_total"),
+                )
+                .select(
+                    F.lit(rnd).cast("bigint").alias("round"),
+                    "partition_id",
+                    "dequeued",
+                    "pages_scanned",
+                    "matches_total",
+                    F.lit(int((time.time() - t0) * 1000))
+                    .cast("bigint")
+                    .alias("duration_ms"),
+                )
+            )
             match_obs = Observation()
             out_matches = (
                 hits.select(
