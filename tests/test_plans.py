@@ -493,10 +493,13 @@ def test_quality_classifier_inline_is_pure_map(spark):
 def test_wet_quality_corpus_plan_shape(spark, sf_dir):
     """The composed raw-markup -> WET -> lang-ID -> classifier -> gates
     pipeline: no wide shuffle, no join, no Python worker; the only
-    exchange is the RoundRobin input balance, and the heavy gate filter
-    must sit ABOVE it (the nondeterministic entanglement working) — a
-    gate pushed below the balance serializes the query onto the
-    single-file scan task."""
+    exchange is the RoundRobin input balance. r6 shape: ALL outputs ride
+    one let-bound bundle struct computed in a single nondeterministic-
+    wrapped Project ABOVE the exchange (so neither filter pushdown nor
+    projection substitution can copy the 12-regex WET derivation — a
+    gate pushed below the balance would also serialize the query onto
+    the single-file scan task), and a plain deterministic Filter on the
+    bundle's fields sits above that projection."""
     from warcannon_spark.queries import QUERIES
 
     plan = plan_str(QUERIES["wet_quality_corpus"](spark, sf_dir))
@@ -504,8 +507,13 @@ def test_wet_quality_corpus_plan_shape(spark, sf_dir):
     assert plan.count("Exchange") == 1 and "RoundRobinPartitioning" in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
-    gate_pos = plan.find("Filter CASE WHEN (monotonically_increasing_id")
-    assert gate_pos != -1 and gate_pos < plan.find("Exchange"), plan
+    # the nondeterministic bundle projection sits above the exchange ...
+    bundle_pos = plan.find("CASE WHEN (monotonically_increasing_id")
+    assert bundle_pos != -1 and bundle_pos < plan.find("Exchange"), plan
+    # ... and the heavy WET derivation is computed exactly ONCE (the
+    # pre-r6 entangled-gate device left 8 copies in the plan: pushdown
+    # substituted the full derivation into the filter conjuncts).
+    assert plan.count("(?is)<script") == 1, plan
 
 
 def test_dsir_weights_plan_broadcast_gather(spark, sf_dir):
