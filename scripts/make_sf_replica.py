@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Fan an existing driver-generated sf directory K× into a larger
+rehearsal dataset (r6 sf1 dress rehearsal; NOT driver data — never used
+for correctness, only for memory-envelope / scaling validation of the
+frozen bench at a bigger SF).
+
+Replica k offsets every surrogate key by k × (max_key + 1) so
+referential integrity holds WITHIN each replica (orders→customer,
+lineitem→orders/part/supplier, events.user_id, documents.doc_id,
+embeddings.vec_id). Dimension-like tables (region, nation) are copied
+as-is. Deterministic: pure arithmetic on the source rows, no rand().
+
+Usage: python scripts/make_sf_replica.py SRC_DIR DST_DIR K
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    src, dst, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    from warcannon_spark.session import get_spark
+
+    spark = get_spark(app_name="make-sf-replica")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # (table, [keys to offset]); key spacing = max over the key's home
+    # table so foreign keys line up with the offset primary keys.
+    plan = {
+        "region": [],
+        "nation": [],
+        "customer": ["c_custkey"],
+        "supplier": ["s_suppkey"],
+        "part": ["p_partkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "events": ["event_id", "user_id"],
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+    }
+    # key domain sizes from the HOME table of each key family
+    spans: dict[str, int] = {}
+    for tbl, fam in {
+        "customer": "custkey",
+        "supplier": "suppkey",
+        "part": "partkey",
+        "orders": "orderkey",
+        "events": "event_id",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+    }.items():
+        df = spark.read.parquet(f"{src}/{tbl}.parquet")
+        col = [c for c in df.columns if c.endswith(fam)][0]
+        spans[fam] = int(df.agg(F.max(col)).first()[0]) + 1
+    spans["user_id"] = int(
+        spark.read.parquet(f"{src}/events.parquet")
+        .agg(F.max("user_id"))
+        .first()[0]
+    ) + 1
+
+    os.makedirs(dst, exist_ok=True)
+    reps = spark.range(k).select(F.col("id").alias("__rep"))
+    for tbl, keys in plan.items():
+        df = spark.read.parquet(f"{src}/{tbl}.parquet")
+        if not keys:
+            out = df
+        else:
+            out = df.crossJoin(F.broadcast(reps))
+            for key in keys:
+                fam = next(f for f in spans if key.endswith(f))
+                out = out.withColumn(
+                    key,
+                    (F.col(key) + F.col("__rep") * F.lit(spans[fam])).cast(
+                        dict(df.dtypes)[key]
+                    ),
+                )
+            out = out.drop("__rep")
+        n = max(1, min(64, (df.count() * k) // 150000 + 1))
+        out.repartition(n).write.mode("overwrite").parquet(
+            f"{dst}/{tbl}.parquet"
+        )
+        print(f"{tbl}: x{k} -> {dst}/{tbl}.parquet")
+    open(f"{dst}/_DONE", "w").close()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
