@@ -936,3 +936,87 @@ def test_hashed_linear_score_sparse_weights_keeps_all_docs(spark):
            hashed_linear_score(docs, weights=b0, bigrams=False).collect()}
     assert set(out) == {0, 1}
     assert out[1] == 0 and out[0] > 0
+
+
+def test_cosine_kernel_bit_exact_vs_expression_path(spark):
+    """r6 blocked-numpy cosine kernel: _seq_cosine_block must reproduce
+    the Catalyst fold's doubles BITWISE (same left-to-right product
+    accumulation, same na*nb-then-divide), so the mapInArrow rewrite of
+    embedding_cosine_pairs / cosine_topk is a pure speedup. Checked
+    against the pre-r6 expression pipeline spelled out inline."""
+    import struct
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from warcannon_spark.operators.similarity import (
+        _collect_side,
+        _dot,
+        _seq_cosine_block,
+        embedding_cosine_pairs,
+        with_norm,
+    )
+
+    rs = np.random.RandomState(7)
+    rows = [
+        (i, [float(x) for x in rs.standard_normal(17)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # expression-path cos for every ordered pair (the pre-r6 join body)
+    base = with_norm(emb)
+    a = base.select(
+        F.col("vec_id").alias("ia"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("ib"), F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    want = {
+        (r.ia, r.ib): struct.pack("<d", r.c)
+        for r in a.crossJoin(b).select("ia", "ib", cos.alias("c")).collect()
+    }
+
+    ids, mat, nrm = _collect_side(base.select("vec_id", "e", "nrm"), "vec_id")
+    cosm = _seq_cosine_block(mat, nrm, mat, nrm)
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            assert struct.pack("<d", cosm[i, j]) == want[(ids[i], ids[j])]
+
+    # and the rewritten operator keeps the exact pair set of the
+    # expression-path join (threshold boundary included)
+    thr = 0.2
+    exp = {
+        (r.ia, r.ib)
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .filter(cos >= thr)
+        .select("ia", "ib")
+        .collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in embedding_cosine_pairs(emb, threshold=thr, id_mod=None).collect()
+    }
+    assert got == exp
+
+
+def test_embedding_cosine_pairs_plan_is_single_maparrow(spark, sf_dir):
+    """r6 scale shape for the exact-pairs baseline: one MapInArrow over
+    the pruned (vec_id, e, nrm) projection — no BroadcastNestedLoopJoin
+    materializing n^2 Catalyst lambda evaluations, no Exchange."""
+    import io
+    from contextlib import redirect_stdout
+
+    from warcannon_spark.queries import QUERIES
+
+    df = QUERIES["dedup_embedding_cosine"](spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert plan.count("MapInArrow") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
