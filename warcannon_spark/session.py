@@ -53,6 +53,24 @@ def get_spark(
         # Bound Arrow batch size: pages rows carry whole documents, so a
         # batch of 2048 pages × ~50 KB text ≈ 100 MB peak per Python worker.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Same document-sized-rows bound for the JVM-side batch builders
+        # (guide §5; r6). The defaults assume narrow rows: the in-memory
+        # columnar cache builder accumulates 10,000 rows per in-flight
+        # batch (~60-120 MB of contiguous text per concurrent task here)
+        # and the vectorized parquet reader grows 4096-row column
+        # vectors (~25-50 MB/task) — with 32 concurrent tasks those
+        # transients alone measure in GB and intermittently OOMed the
+        # 12 g heap during the 2×-corpus cache build (G1 humongous
+        # allocations; observed once in five full bench passes).
+        # 1024-row batches shrink both ~4-10× and measured
+        # PERF-NEUTRAL on the scan-heavy paths (match_campaign best-of-3
+        # 2.33→2.26 s; 2×-batch crawl 37.4k→37.5k urls/s; cache-build
+        # warm round 14.1→12.5 s) — document-sized rows amortize
+        # per-batch overheads long before 1024 rows. Not a local[32]
+        # tune: any executor running document-corpus scans has the same
+        # rows-×-concurrency transient math.
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "1024")
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         # local mode = one JVM: the "driver" heap is also all executor
