@@ -589,3 +589,23 @@ def test_crawl_delay_longer_than_round_clamps_to_one(spark):
     for r in rows:
         per_host[r.host] = per_host.get(r.host, 0) + 1
     assert per_host == {"slow.example": 1, "dup.example": 2}
+
+
+def test_rules_by_host_driver_ceiling(spark):
+    """r6 (r5 verdict item 7, guide §5): the collect-based robots helper
+    is driver-BOUNDED — above the ceiling it raises loudly (after a
+    limit-bounded probe, never a full-table collect) and points at the
+    distributed join gate; under the ceiling behavior is unchanged."""
+    import pytest
+
+    from warcannon_spark.plans.robots import rules_by_host
+
+    robots = spark.createDataFrame(
+        [(f"h{i}.example", "User-agent: *\nDisallow: /x") for i in range(4)],
+        "host string, robots_txt string",
+    )
+    with pytest.raises(ValueError, match="robots_gate"):
+        rules_by_host(robots, max_hosts=3)
+    table = rules_by_host(robots, max_hosts=4)
+    assert set(table) == {f"h{i}.example" for i in range(4)}
+    assert table["h0.example"] == [("/x", False)]

@@ -274,9 +274,31 @@ def robots_gate(
     )
 
 
-def rules_by_host(robots: DataFrame) -> dict[str, list[tuple[str, bool]]]:
+# rules_by_host collects the robots table to the DRIVER (dict +
+# broadcast) — fine for fixture/batch-bounded tables, a driver OOM at
+# web scale (r5 verdict item 7; guide §5: the driver should do almost
+# no data work). The ceiling makes the failure loud instead of an OOM;
+# the web-scale path is the distributed join gate (robots_gate), which
+# never collects and is plan-asserted in tests/test_frontier_stack.py.
+RULES_BY_HOST_CEILING = 100_000
+
+
+def rules_by_host(
+    robots: DataFrame, max_hosts: int = RULES_BY_HOST_CEILING
+) -> dict[str, list[tuple[str, bool]]]:
     """robots(host, robots_txt) → {host: rules sorted for last-wins apply}
-    (ascending pattern octet length, Disallow before Allow on ties)."""
+    (ascending pattern octet length, Disallow before Allow on ties).
+
+    Driver-bounded: raises above ``max_hosts`` rows (the probe reads at
+    most ``max_hosts + 1`` rows, never the full table) — callers with
+    larger tables must use :func:`robots_gate`."""
+    n = robots.limit(max_hosts + 1).count()
+    if n > max_hosts:
+        raise ValueError(
+            f"rules_by_host collects the robots table to the driver and "
+            f"is bounded to {max_hosts} hosts; use the distributed join "
+            f"gate (robots_gate) for larger tables"
+        )
     out: dict[str, list[tuple[str, bool]]] = {}
     for row in robots.collect():
         rules = parse_robots_txt(row.robots_txt)
